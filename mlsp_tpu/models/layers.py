@@ -1,0 +1,147 @@
+"""Shared flax building blocks for the MLSP model zoo.
+
+Layout convention: point clouds/features are channels-last ([B, N, C] or
+[B, N, K, C]); the reference's 1x1 Conv1d/Conv2d become `nn.Dense` over
+the last axis, which XLA lowers to batched MXU matmuls. BatchNorm reduces
+over every axis but the channel axis — the exact equivalent of torch
+BatchNorm1d/2d on the [B, C, ...] layouts (torch defaults: eps 1e-5,
+momentum 0.1 -> flax momentum 0.9).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def act_fn(name: str):
+    if name == "relu":
+        return nn.relu
+    if name == "leakyrelu":
+        return lambda x: nn.leaky_relu(x, negative_slope=0.2)
+    raise ValueError(f"unknown activation {name!r}")
+
+
+class DenseBN(nn.Module):
+    """Dense -> BatchNorm -> activation (reference `conv_2d`/`fc_layer`)."""
+
+    features: int
+    activation: str = "relu"
+    use_bias: bool = True
+    use_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Dense(self.features, use_bias=self.use_bias)(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5
+            )(x)
+        return act_fn(self.activation)(x)
+
+
+class TransformNet(nn.Module):
+    """Spatial/feature transform net (reference `transform_net`,
+    `PointDA/model_utils.py:90-127`).
+
+    `dgcnn` mode consumes edge features [B, N, K, C] and max-reduces over
+    K before the 1024-dim lift; `pointnet` mode consumes per-point
+    features [B, N, C]. Output is a [B, out, out] matrix initialised at
+    identity (bias trick).
+    """
+
+    out: int
+    mode: str = "dgcnn"  # or "pointnet"
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        leaky = self.mode == "dgcnn"
+        act = "leakyrelu" if leaky else "relu"
+        bias = not leaky
+        x = DenseBN(64, act, use_bias=bias)(x, train)
+        x = DenseBN(128, act, use_bias=bias)(x, train)
+        if self.mode == "dgcnn":
+            x = jnp.max(x, axis=-2)  # over K
+        x = DenseBN(1024, act, use_bias=bias)(x, train)
+        x = jnp.max(x, axis=-2)  # over N
+        x = DenseBN(512, act, use_bias=bias)(x, train)
+        x = DenseBN(256, act, use_bias=True)(x, train)
+        x = nn.Dense(self.out * self.out)(x)
+        eye = jnp.eye(self.out, dtype=x.dtype).reshape(-1)
+        x = x + eye
+        return x.reshape(x.shape[0], self.out, self.out)
+
+
+class Classifier(nn.Module):
+    """Global-feature classifier head (`model_utils.classifier`)."""
+
+    num_classes: int
+    dropout: float = 0.5
+    model: str = "dgcnn"  # controls activation/bias like the reference
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        leaky = self.model == "dgcnn"
+        act = "leakyrelu" if leaky else "relu"
+        x = DenseBN(512, act, use_bias=leaky)(x, train)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = DenseBN(256, act, use_bias=True)(x, train)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return nn.Dense(self.num_classes)(x)
+
+
+class PointMLPHead(nn.Module):
+    """Per-point 3-channel regression head.
+
+    Covers `RegionReconstruction` and `Normal_prediction`
+    (`PointDA/Models.py:165-231`): 256 -> 256 -> 128 -> out, BN + plain
+    ReLU + dropout, all Dense bias-free.
+    """
+
+    out: int = 3
+    dropout: float = 0.5
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = DenseBN(256, "relu", use_bias=self.use_bias)(x, train)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = DenseBN(256, "relu", use_bias=self.use_bias)(x, train)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = DenseBN(128, "relu", use_bias=self.use_bias)(x, train)
+        return nn.Dense(self.out, use_bias=self.use_bias)(x)
+
+
+class DensityHead(nn.Module):
+    """Cardinality head (`Density_prediction`, `PointDA/Models.py:233-285`).
+
+    Per point: Dense 512 (BN+ReLU+dropout) -> MLP 256 -> 256 -> num_cls
+    -> softmax p_vec; the scalar density is the expectation under the
+    frozen bin-center weights w_i = pergroup * i.
+
+    Returns (p_vec [B, N, num_cls], density [B, N]).
+    """
+
+    num_cls: int = 16
+    pergroup: float = 2.0
+    dropout: float = 0.5
+    model: str = "dgcnn"
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        leaky = self.model == "dgcnn"
+        act = "leakyrelu" if leaky else "relu"
+        x = DenseBN(512, "relu", use_bias=False)(x, train)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = DenseBN(256, act, use_bias=leaky)(x, train)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = DenseBN(256, act, use_bias=True)(x, train)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        logits = nn.Dense(self.num_cls)(x)
+        p_vec = jax.nn.softmax(logits, axis=-1)
+        bins = self.pergroup * jnp.arange(self.num_cls, dtype=p_vec.dtype)
+        density = jnp.einsum("...c,c->...", p_vec, bins)
+        return p_vec, density
