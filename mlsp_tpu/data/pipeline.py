@@ -1,0 +1,138 @@
+"""In-memory dataset container + batching.
+
+Replaces torch Dataset/DataLoader/SubsetRandomSampler
+(`PointDA/trainer.py:193-236`). Decoded clouds live as one contiguous
+numpy array; preprocessing (unit-cube, alignment rotation, FPS to fixed
+N) happens once up front in device-batched passes; per-epoch train
+augmentation (z-rotation + jitter) runs *inside* the jitted train step.
+That removes the reference's hot CPU path (numpy FPS per __getitem__,
+4 worker processes) entirely.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections.abc import Iterator
+
+import jax
+import numpy as np
+
+from mlsp_tpu.ops.fps import fps, fps_gather
+from mlsp_tpu.transforms.augment import rotate_shape, scale_to_unit_cube
+
+
+@dataclasses.dataclass
+class Dataset:
+    """Fixed-shape in-memory dataset.
+
+    data: [M, N, 3] float32; label: [M] (cls) or [M, N] (seg) int;
+    train_ind/val_ind: reference-compatible 8/10-2/10 split indices
+    (`PointDA/data/dataloader.py:70-73`)."""
+
+    data: np.ndarray
+    label: np.ndarray
+    train_ind: np.ndarray | None = None
+    val_ind: np.ndarray | None = None
+
+    def __len__(self) -> int:
+        return self.data.shape[0]
+
+    def split(self, seed: int = 1) -> "Dataset":
+        m = len(self)
+        rng = np.random.default_rng(seed)
+        train = np.asarray([i for i in range(m) if i % 10 < 8])
+        val = np.asarray([i for i in range(m) if i % 10 >= 8])
+        rng.shuffle(train)
+        rng.shuffle(val)
+        return dataclasses.replace(self, train_ind=train, val_ind=val)
+
+
+def batches(
+    data: np.ndarray,
+    label: np.ndarray,
+    batch_size: int,
+    *,
+    indices: np.ndarray | None = None,
+    shuffle: bool = False,
+    drop_last: bool = False,
+    rng: np.random.Generator | None = None,
+) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Yield (clouds, labels) numpy batches; device transfer is the
+    caller's (jit's) job."""
+    idx = np.arange(data.shape[0]) if indices is None else np.asarray(indices)
+    if shuffle:
+        (rng or np.random.default_rng()).shuffle(idx)
+    n = idx.shape[0]
+    for s in range(0, n, batch_size):
+        sel = idx[s : s + batch_size]
+        if drop_last and sel.shape[0] < batch_size:
+            return
+        yield data[sel], label[sel]
+
+
+def num_batches(n_examples: int, batch_size: int, drop_last: bool) -> int:
+    return n_examples // batch_size if drop_last else -(-n_examples // batch_size)
+
+
+# ---------------------------------------------------------------------------
+# Preprocessing: variable-size raw clouds -> fixed [M, num_points, 3]
+# ---------------------------------------------------------------------------
+
+_PAD_CHUNK = 64
+
+
+def _fps_chunk(chunk: np.ndarray, num_points: int) -> np.ndarray:
+    """Device FPS on a padded [C, P, 3] chunk -> [C, num_points, 3]."""
+    x = jax.numpy.asarray(chunk)
+    start = jax.numpy.zeros((x.shape[0],), jax.numpy.int32)
+    idx = fps(x, num_points, start)
+    return np.asarray(fps_gather(x, idx))
+
+
+def standardize_clouds(
+    clouds: list[np.ndarray],
+    num_points: int,
+    rotate_axis: str | None = None,
+    rotate_angle: float = 0.0,
+    rotate_mask: np.ndarray | None = None,
+) -> np.ndarray:
+    """Unit-cube scale, optional alignment rotation, FPS/pad to num_points.
+
+    Mirrors the reference __getitem__ pipeline
+    (`PointDA/data/dataloader.py:79-95`), executed once instead of per
+    epoch. `rotate_mask` selects which clouds get the alignment rotation
+    (ShapeNet skips class "plant", dataloader.py:206-209).
+
+    Duplicate-padding before FPS is exact: duplicated points never alter
+    farthest-point geometry and ties resolve to the first occurrence.
+    """
+    out = np.empty((len(clouds), num_points, 3), np.float32)
+    # Group by padded size to bound jit recompiles.
+    pads: dict[int, list[int]] = {}
+    prepped: list[np.ndarray] = []
+    for i, pc in enumerate(clouds):
+        pc = np.asarray(pc, np.float32)[:, :3]
+        pc = np.asarray(scale_to_unit_cube(pc))
+        if rotate_axis is not None and (rotate_mask is None or rotate_mask[i]):
+            pc = np.asarray(rotate_shape(pc, rotate_axis, rotate_angle))
+        if pc.shape[0] <= num_points:
+            if pc.shape[0] < num_points:  # repeat-pad small clouds
+                reps = -(-num_points // pc.shape[0])
+                pc = np.tile(pc, (reps, 1))[:num_points]
+            out[i] = pc
+            prepped.append(None)
+        else:
+            prepped.append(pc)
+            padded = 1 << (pc.shape[0] - 1).bit_length()  # next pow2 bucket
+            pads.setdefault(padded, []).append(i)
+
+    for padded, ids in pads.items():
+        for s in range(0, len(ids), _PAD_CHUNK):
+            sel = ids[s : s + _PAD_CHUNK]
+            chunk = np.empty((len(sel), padded, 3), np.float32)
+            for j, i in enumerate(sel):
+                pc = prepped[i]
+                reps = -(-padded // pc.shape[0])
+                chunk[j] = np.tile(pc, (reps, 1))[:padded]
+            out[np.asarray(sel)] = _fps_chunk(chunk, num_points)
+    return out

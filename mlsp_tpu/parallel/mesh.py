@@ -1,0 +1,68 @@
+"""Device mesh + sharding helpers — the communication layer.
+
+The reference's only parallelism is single-process `nn.DataParallel`
+(`PointDA/trainer.py:251-252`); here parallelism is expressed the TPU
+way: a `jax.sharding.Mesh`, batches sharded over the `data` axis,
+parameters replicated, and XLA inserting all-reduces over ICI for the
+gradient sum (multi-host: same program over DCN after
+`jax.distributed.initialize`).
+
+BatchNorm note: under jit with a sharded batch, `jnp.mean` over the
+batch axis is a *global* mean — XLA emits the cross-replica collective
+automatically, so batch statistics are synchronized across shards
+(better than the reference's per-GPU stats).
+
+A second optional `points` axis ("sequence parallelism" for point
+clouds) shards the O(N^2) kNN/Chamfer intermediates; see
+`shard_points_constraint`.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, data: int | None = None, points: int = 1) -> Mesh:
+    """Build a (data[, points]) mesh over the given / all devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        data = n // points
+    assert data * points == n, f"{data}x{points} != {n} devices"
+    arr = np.asarray(devices).reshape(data, points)
+    return Mesh(arr, ("data", "points"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading axis sharded over `data`."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Device-put every leaf with its leading axis split over `data`."""
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+def replicate(mesh: Mesh, tree):
+    """Device-put every leaf fully replicated."""
+    s = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+def shard_points_constraint(x, mesh: Mesh | None):
+    """Annotate a [B, N, ...] intermediate to also split N over `points`.
+
+    Used for the O(N^2) distance tensors when a points axis > 1 is
+    configured; a no-op on a pure-dp mesh.
+    """
+    if mesh is None or mesh.shape.get("points", 1) == 1:
+        return x
+    spec = P("data", "points", *([None] * (x.ndim - 2)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

@@ -1,0 +1,153 @@
+"""PointDA-10 domain-adaptation trainer (the reference's main entry).
+
+Orchestrates the epoch loop of `PointDA/trainer.py:341-611`: zip source
+and target train streams, run the fused jitted step, validate on both
+domains, keep the best model by *source* validation accuracy, final test
+on target. All augmentation/label generation is inside the step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlsp_tpu.data import batches, load_pointda
+from mlsp_tpu.models import make_model
+from mlsp_tpu.train import steps
+from mlsp_tpu.train.state import create_train_state
+from mlsp_tpu.utils import checkpoint, metrics
+from mlsp_tpu.utils.config import PointDAConfig
+from mlsp_tpu.utils.logging import IOStream
+
+
+def _pad_batch(x, y, size):
+    """Pad a trailing partial batch by repetition (avoids jit reshapes);
+    returns (x, y, valid_count)."""
+    n = x.shape[0]
+    if n == size:
+        return x, y, n
+    reps = -(-size // n)
+    return (
+        np.concatenate([x] * reps)[:size],
+        np.concatenate([y] * reps)[:size],
+        n,
+    )
+
+
+def evaluate(state, data, label, batch_size, num_classes, indices=None):
+    """Eval loop: accuracy, balanced accuracy, mean CE loss, confusion."""
+    preds, trues, losses, counts = [], [], [], []
+    for bx, by in batches(data, label, batch_size, indices=indices):
+        bx, by, n = _pad_batch(bx, by, batch_size)
+        logits = steps.eval_step(state, jnp.asarray(bx))
+        logits = np.asarray(logits)[:n]
+        p = logits.argmax(-1)
+        logp = logits - np.log(np.exp(logits - logits.max(-1, keepdims=True)).sum(-1, keepdims=True)) - logits.max(-1, keepdims=True)
+        losses.append(-logp[np.arange(n), by[:n]].sum())
+        preds.append(p)
+        trues.append(by[:n])
+        counts.append(n)
+    preds, trues = np.concatenate(preds), np.concatenate(trues)
+    total = float(np.sum(counts))
+    return {
+        "acc": metrics.accuracy(trues, preds),
+        "balanced_acc": metrics.balanced_accuracy(trues, preds),
+        "loss": float(np.sum(losses) / total),
+        "conf_mat": metrics.confusion_matrix(trues, preds, num_classes),
+    }
+
+
+def train_pointda(cfg: PointDAConfig, io: IOStream | None = None, mesh=None):
+    """Run the full DA training; returns (best_state, results dict)."""
+    cfg = cfg.resolved()
+    io = io or IOStream(cfg.out_path, cfg.exp_name)
+    io.cprint(str(cfg))
+    rng = np.random.default_rng(cfg.seed)
+    key = jax.random.key(cfg.seed)
+
+    src_train = load_pointda(cfg.src_dataset, cfg.dataroot, "train",
+                             cfg.num_points, cfg.synthetic, cfg.seed)
+    trgt_train = load_pointda(cfg.trgt_dataset, cfg.dataroot, "train",
+                              cfg.num_points, cfg.synthetic, cfg.seed)
+    trgt_test = load_pointda(cfg.trgt_dataset, cfg.dataroot, "test",
+                             cfg.num_points, cfg.synthetic, cfg.seed)
+
+    steps_per_epoch = min(
+        len(src_train.train_ind), len(trgt_train.train_ind)
+    ) // cfg.batch_size
+    model = make_model(
+        cfg.model, cfg.num_class, dropout=cfg.dropout,
+        **(dict(density_num_cls=cfg.density_num_class, pergroup=cfg.pergroup,
+                knn_backend=cfg.knn_backend) if cfg.model == "dgcnn" else {}),
+    )
+    sample = jnp.zeros((cfg.batch_size, cfg.num_points, 3), jnp.float32)
+    key, init_key = jax.random.split(key)
+    all_heads = ("defrec", "normal", "scan", "density") if cfg.model == "dgcnn" else ("defrec",)
+    state = create_train_state(
+        model, init_key, sample,
+        optimizer=cfg.optimizer, lr=cfg.lr, wd=cfg.wd, momentum=cfg.momentum,
+        epochs=cfg.epochs, steps_per_epoch=steps_per_epoch, heads=all_heads,
+    )
+
+    best = {"src_val_acc": 0.0, "epoch": -1, "state": state}
+    ckpt_path = os.path.join(io.path, "model.ckpt")
+
+    for epoch in range(cfg.epochs):
+        sums: dict[str, float] = {}
+        count = 0
+        src_iter = batches(src_train.data, src_train.label, cfg.batch_size,
+                           indices=src_train.train_ind, shuffle=True,
+                           drop_last=True, rng=rng)
+        trgt_iter = batches(trgt_train.data, trgt_train.label, cfg.batch_size,
+                            indices=trgt_train.train_ind, shuffle=True,
+                            drop_last=True, rng=rng)
+        for (sx, sy), (tx, _) in zip(src_iter, trgt_iter):
+            key, k = jax.random.split(key)
+            state, m = steps.pointda_train_step(
+                state, jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(tx), k, cfg
+            )
+            bs = sx.shape[0]
+            count += bs
+            for name, v in m.items():
+                sums[name] = sums.get(name, 0.0) + float(v) * bs
+
+        train_losses = {k_: v / max(count, 1) for k_, v in sums.items()}
+        io.print_progress("Source+Target", "Trn", epoch, train_losses)
+
+        src_val = evaluate(state, src_train.data, src_train.label,
+                           cfg.test_batch_size, cfg.num_class, src_train.val_ind)
+        trgt_val = evaluate(state, trgt_train.data, trgt_train.label,
+                            cfg.test_batch_size, cfg.num_class, trgt_train.val_ind)
+        io.cprint(
+            f"Val - epoch {epoch}: src acc {src_val['acc']:.4f} "
+            f"(bal {src_val['balanced_acc']:.4f}, loss {src_val['loss']:.4f}), "
+            f"trgt acc {trgt_val['acc']:.4f} (loss {trgt_val['loss']:.4f})"
+        )
+
+        # Model selection by source val acc (trainer.py:589-596).
+        if src_val["acc"] > best["src_val_acc"]:
+            best.update(
+                src_val_acc=src_val["acc"], src_val_loss=src_val["loss"],
+                trgt_val_acc=trgt_val["acc"], trgt_val_loss=trgt_val["loss"],
+                epoch=epoch, state=state, conf_mat=trgt_val["conf_mat"],
+            )
+            checkpoint.save_train_state(ckpt_path, state, epoch,
+                                        {"src_val_acc": src_val["acc"]})
+
+    io.cprint(
+        f"Best model found at epoch {best['epoch']}, "
+        f"source val acc: {best['src_val_acc']:.4f}"
+    )
+    final = evaluate(best["state"], trgt_test.data, trgt_test.label,
+                     cfg.test_batch_size, cfg.num_class)
+    io.cprint(
+        f"target test accuracy: {final['acc']:.4f}, "
+        f"target test loss: {final['loss']:.4f}"
+    )
+    io.cprint("Test confusion matrix:\n" + str(final["conf_mat"]))
+    return best["state"], {"best": {k_: v for k_, v in best.items() if k_ != "state"},
+                           "test": final}

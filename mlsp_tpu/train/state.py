@@ -1,0 +1,82 @@
+"""Train state + optimizer factory (torch-parity Adam/SGD + cosine).
+
+Optimizer semantics match the reference exactly
+(`PointDA/trainer.py:258-260`): torch Adam applies L2 weight decay by
+adding wd*param to the gradient *before* the moment updates —
+`optax.add_decayed_weights` placed first in the chain reproduces that —
+and `CosineAnnealingLR(T_max=epochs)` steps once per epoch.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.training import train_state
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def cosine_per_epoch(base_lr: float, epochs: int, steps_per_epoch: int):
+    """lr(step) = base_lr * (1 + cos(pi * epoch/epochs)) / 2, epoch-stepped."""
+
+    def sched(step):
+        epoch = jnp.minimum(step // max(steps_per_epoch, 1), epochs)
+        return base_lr * 0.5 * (1.0 + jnp.cos(jnp.pi * epoch / epochs))
+
+    return sched
+
+
+def make_optimizer(
+    name: str,
+    lr: float,
+    wd: float,
+    momentum: float,
+    epochs: int,
+    steps_per_epoch: int,
+) -> optax.GradientTransformation:
+    sched = cosine_per_epoch(lr, epochs, steps_per_epoch)
+    if name.upper() == "SGD":
+        return optax.chain(
+            optax.add_decayed_weights(wd),
+            optax.trace(decay=momentum),
+            optax.scale_by_learning_rate(sched),
+        )
+    return optax.chain(
+        optax.add_decayed_weights(wd),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale_by_learning_rate(sched),
+    )
+
+
+def create_train_state(
+    model,
+    rng,
+    sample_input,
+    *,
+    optimizer: str = "ADAM",
+    lr: float = 1e-3,
+    wd: float = 5e-5,
+    momentum: float = 0.9,
+    epochs: int = 150,
+    steps_per_epoch: int = 100,
+    heads: tuple[str, ...] = (),
+) -> TrainState:
+    # Jit the init: eager init dispatches every layer op individually,
+    # which is pathologically slow through a remote-TPU relay.
+    init_fn = jax.jit(
+        lambda r, x: model.init({"params": r}, x, train=False, heads=heads)
+    )
+    variables = init_fn(rng, sample_input)
+    tx = make_optimizer(optimizer, lr, wd, momentum, epochs, steps_per_epoch)
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=tx,
+    )

@@ -1,0 +1,275 @@
+"""Jitted train/eval steps — the whole MLSP recipe fused on device.
+
+One `pointda_train_step` reproduces an entire reference train iteration
+(`PointDA/trainer.py:374-571`): per-epoch augmentation, PCM mixup (FPS
+on device), DefRec deformation, normal + cardinality ground-truth
+generation (the PCL replacement), every SSL head forward, and a single
+optimizer update (the reference accumulates `.backward()`s and steps
+once — summing the losses is the same program).
+
+The config dataclass is a static argument, so every flag combination
+compiles to a lean graph containing only its active branches.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from mlsp_tpu import losses as L
+from mlsp_tpu import ops
+from mlsp_tpu import transforms as T
+
+
+def _apply(state, params, bstats, x, heads, key):
+    """One train-mode forward; threads batch_stats like torch's
+    sequential BN updates across the reference's multiple forwards."""
+    out, mut = state.apply_fn(
+        {"params": params, "batch_stats": bstats},
+        x,
+        train=True,
+        heads=heads,
+        rngs={"dropout": key},
+        mutable=["batch_stats"],
+    )
+    return out, mut["batch_stats"]
+
+
+def augment_batch(key, x):
+    """In-step equivalent of the loader-side train augmentation
+    (`dataloader.py:92-93`): random z-rotation + clipped jitter."""
+    kr, kj = jax.random.split(key)
+    return T.jitter(kj, T.random_rotate_one_axis(kr, x, "z"))
+
+
+def pcm_mix(key, x, y, mixup_params: float):
+    """PCM mixup on device (`MLSP/PCM.py:6-38`).
+
+    Draws lam ~ Beta(a, a), FPS-samples round(lam*N) points from each
+    cloud and N - round(lam*N) from a batch-permuted partner, concats and
+    point-permutes. Uses the FPS prefix property to keep shapes static
+    under the data-dependent split.
+    """
+    B, N, _ = x.shape
+    kperm, klam, ksa, ksb, kpts = jax.random.split(key, 5)
+    perm = jax.random.permutation(kperm, B)
+    if mixup_params > 0:
+        lam = jax.random.beta(klam, mixup_params, mixup_params)
+    else:
+        lam = jnp.float32(1.0)
+    num_a = jnp.round(lam * N).astype(jnp.int32)
+
+    xb = x[perm]
+    order_a = ops.fps(x, N, jax.random.randint(ksa, (B,), 0, N))
+    order_b = ops.fps(xb, N, jax.random.randint(ksb, (B,), 0, N))
+    va = ops.fps_gather(x, order_a)  # FPS-ordered: prefix m == FPS(m)
+    vb = ops.fps_gather(xb, order_b)
+
+    i = jnp.arange(N)
+    idx_b = jnp.clip(i - num_a, 0, N - 1)
+    mixed = jnp.where((i < num_a)[None, :, None], va, vb[:, idx_b])
+    mixed = mixed[:, jax.random.permutation(kpts, N)]
+    return mixed, (y, y[perm], lam)
+
+
+def pcm_mix_segmentation(key, x, y, mixup_params: float):
+    """Segmentation PCM (`PCM.py:40-73`): also transports point labels."""
+    B, N, _ = x.shape
+    kperm, klam, ksa, ksb, kpts = jax.random.split(key, 5)
+    perm = jax.random.permutation(kperm, B)
+    if mixup_params > 0:
+        lam = jax.random.beta(klam, mixup_params, mixup_params)
+    else:
+        lam = jnp.float32(1.0)
+    num_a = jnp.round(lam * N).astype(jnp.int32)
+
+    xb, yb = x[perm], y[perm]
+    order_a = ops.fps(x, N, jax.random.randint(ksa, (B,), 0, N))
+    order_b = ops.fps(xb, N, jax.random.randint(ksb, (B,), 0, N))
+    va, la = ops.fps_gather(x, order_a), jnp.take_along_axis(y, order_a, 1)
+    vb, lb = ops.fps_gather(xb, order_b), jnp.take_along_axis(yb, order_b, 1)
+
+    i = jnp.arange(N)
+    idx_b = jnp.clip(i - num_a, 0, N - 1)
+    take_a = i < num_a
+    mixed = jnp.where(take_a[None, :, None], va, vb[:, idx_b])
+    mixed_y = jnp.where(take_a[None, :], la, lb[:, idx_b])
+    pp = jax.random.permutation(kpts, N)
+    return mixed[:, pp], mixed_y[:, pp]
+
+
+def _ssl_recipe_losses(cfg, logits, x_orig, mask, normal_gt, dvec, dval, prefix, m):
+    """Shared DefRec+Normal+Density-on-deformed block
+    (`PointDA/trainer.py:434-455` source / `:544-565` target)."""
+    total = L.defrec_loss(logits["defrec"], x_orig, mask, cfg.DefRec_weight)
+    m[f"{prefix}_DefRec"] = total
+    w = L.region_weights(mask, cfg.Density_normal_defpart)
+    if cfg.Normal_ondef:
+        nl = L.masked_normal_loss(logits["normal"], normal_gt, w, cfg.normal_pred_weight)
+        m[f"{prefix}_def_normal"] = nl
+        total = total + nl
+    if cfg.Density_ondef:
+        C = cfg.density_num_class
+        kl, mae = L.density_loss(
+            logits["density"].reshape(-1, C),
+            logits["density_mse"].reshape(-1),
+            dvec.reshape(-1, C),
+            dval.reshape(-1),
+            cfg.Density_weight,
+            mask=w.reshape(-1),
+        )
+        m[f"{prefix}_def_density_cls"] = kl
+        m[f"{prefix}_def_density_mse"] = mae
+        total = total + kl + mae
+    return total
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def pointda_train_step(state, src_x, src_y, trgt_x, key, cfg):
+    """Full MLSP PointDA train iteration. Returns (state, metrics)."""
+    keys = jax.random.split(key, 16)
+    src_x = augment_batch(keys[0], src_x)
+    trgt_x = augment_batch(keys[1], trgt_x)
+
+    def loss_fn(params):
+        bstats = state.batch_stats
+        total = jnp.float32(0.0)
+        m = {}
+
+        # ---- source supervised ----
+        if cfg.DefRec_on_src:
+            dx, mask = T.deform_batch(keys[2], src_x, cfg.num_regions)
+            logits, bstats = _apply(state, params, bstats, dx, ("defrec",), keys[3])
+            l = L.defrec_loss(logits["defrec"], src_x, mask, cfg.DefRec_weight)
+            m["src_DefRec"] = l
+            total = total + l
+
+        if cfg.apply_PCM:
+            mixed, (ya, yb, lam) = pcm_mix(keys[4], src_x, src_y, cfg.mixup_params)
+            logits, bstats = _apply(state, params, bstats, mixed, (), keys[5])
+            l = L.mixup_cross_entropy(logits["cls"], ya, yb, lam, cfg.DefRec_weight)
+            m["src_mixup"] = l
+            total = total + l
+        else:
+            logits, bstats = _apply(state, params, bstats, src_x, (), keys[5])
+            l = (1.0 - cfg.DefRec_weight) * L.cross_entropy(logits["cls"], src_y)
+            m["src_cls"] = l
+            total = total + l
+
+        if cfg.Density_normal_viainput_onsrc:
+            n_gt = ops.estimate_normals(src_x, cfg.near)
+            dvec, dval = ops.density_labels(
+                src_x, cfg.radius, cfg.density_num_class, cfg.pergroup
+            )
+            dx, mask = T.deform_batch(keys[6], src_x, cfg.num_regions)
+            logits, bstats = _apply(
+                state, params, bstats, dx, ("defrec", "normal", "density"), keys[7]
+            )
+            total = total + _ssl_recipe_losses(
+                cfg, logits, src_x, mask, n_gt, dvec, dval, "src", m
+            )
+
+        # ---- target self-supervised ----
+        if cfg.DefRec_on_trgt:
+            dx, mask = T.deform_batch(keys[8], trgt_x, cfg.num_regions)
+            logits, bstats = _apply(state, params, bstats, dx, ("defrec",), keys[9])
+            l = L.defrec_loss(logits["defrec"], trgt_x, mask, cfg.DefRec_weight)
+            m["trgt_DefRec"] = l
+            total = total + l
+
+        if cfg.Norm_on_trgt:
+            n_gt = ops.estimate_normals(trgt_x, cfg.near)
+            logits, bstats = _apply(state, params, bstats, trgt_x, ("normal",), keys[10])
+            l = L.normal_loss(logits["normal"], n_gt, cfg.normal_pred_weight)
+            m["trgt_Normal"] = l
+            total = total + l
+
+        if cfg.Scan_on_trgt:
+            sx, smask = T.scan_batch(keys[11], trgt_x)
+            logits, bstats = _apply(state, params, bstats, sx, ("scan",), keys[12])
+            l = L.scan_rec_loss(logits["scan"], trgt_x, smask, cfg.Scan_Rec_weight)
+            m["trgt_Rec_scan"] = l
+            total = total + l
+
+        if cfg.Density_on_trgt:
+            dvec, dval = ops.density_labels(
+                trgt_x, cfg.radius, cfg.density_num_class, cfg.pergroup
+            )
+            logits, bstats = _apply(state, params, bstats, trgt_x, ("density",), keys[13])
+            C = cfg.density_num_class
+            kl, mae = L.density_loss(
+                logits["density"].reshape(-1, C),
+                logits["density_mse"].reshape(-1),
+                dvec.reshape(-1, C),
+                dval.reshape(-1),
+                cfg.Density_weight,
+            )
+            m["trgt_Density_cls"] = kl
+            m["trgt_Density_mse"] = mae
+            total = total + kl + mae
+
+        if cfg.Density_normal_viainput:
+            n_gt = ops.estimate_normals(trgt_x, cfg.near)
+            dvec, dval = ops.density_labels(
+                trgt_x, cfg.radius, cfg.density_num_class, cfg.pergroup
+            )
+            dx, mask = T.deform_batch(keys[14], trgt_x, cfg.num_regions)
+            logits, bstats = _apply(
+                state, params, bstats, dx, ("defrec", "normal", "density"), keys[15]
+            )
+            total = total + _ssl_recipe_losses(
+                cfg, logits, trgt_x, mask, n_gt, dvec, dval, "trgt", m
+            )
+
+        elif cfg.Density_normal_viachamfer:
+            # Chamfer-transported variant: labels move through the
+            # nearest-index maps between the DefRec prediction and the
+            # original cloud (`mlsp.findindexs` + `calc_def_*`).
+            n_gt = ops.estimate_normals(trgt_x, cfg.near)
+            dvec, dval = ops.density_labels(
+                trgt_x, cfg.radius, cfg.density_num_class, cfg.pergroup
+            )
+            dx, mask = T.deform_batch(keys[14], trgt_x, cfg.num_regions)
+            logits, bstats = _apply(
+                state, params, bstats, dx, ("defrec", "normal", "density"), keys[15]
+            )
+            l = L.defrec_loss(logits["defrec"], trgt_x, mask, cfg.DefRec_weight)
+            m["trgt_DefRec"] = l
+            total = total + l
+            idx_pair = ops.nearest_index_pair(logits["defrec"], trgt_x, mask)
+            w = L.region_weights(mask, cfg.Density_normal_defpart)
+            if cfg.Normal_ondef:
+                nl = L.transported_normal_loss(
+                    logits["normal"], n_gt, w, idx_pair, cfg.normal_pred_weight
+                )
+                m["trgt_def_normal"] = nl
+                total = total + nl
+            if cfg.Density_ondef:
+                kl, mae = L.transported_density_loss(
+                    logits["density"], logits["density_mse"], dvec, dval,
+                    w, idx_pair, cfg.Density_weight,
+                )
+                m["trgt_def_density_cls"] = kl
+                m["trgt_def_density_mse"] = mae
+                total = total + kl + mae
+
+        m["total"] = total
+        return total, (m, bstats)
+
+    grads, (m, bstats) = jax.grad(loss_fn, has_aux=True)(state.params)
+    state = state.apply_gradients(grads=grads)
+    state = state.replace(batch_stats=bstats)
+    return state, m
+
+
+@partial(jax.jit, static_argnames=("state_apply_fn",))
+def _eval_forward(state_apply_fn, params, bstats, x):
+    logits = state_apply_fn({"params": params, "batch_stats": bstats}, x, train=False)
+    return logits["cls"]
+
+
+def eval_step(state, x):
+    """Eval forward (BN running stats, no dropout) -> class logits."""
+    return _eval_forward(state.apply_fn, state.params, state.batch_stats, x)

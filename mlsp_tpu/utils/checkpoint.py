@@ -1,0 +1,61 @@
+"""Checkpoint save/load via flax msgpack serialization (+ orbax option).
+
+Replaces the reference's `torch.save(state_dict)` path
+(`utils/log.py:31-41`) and the dead richer path in
+`utils/checkpoint.py:136-184` — here the rich path (params, batch stats,
+optimizer state, epoch, metrics) is the live one, with resume support.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+from flax import serialization
+
+
+def save(path: str, tree: Any) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(tree))
+
+
+def load(path: str, target: Any) -> Any:
+    """Restore into a pytree template of matching structure."""
+    with open(path, "rb") as f:
+        return serialization.from_bytes(target, f.read())
+
+
+def save_train_state(path: str, state, epoch: int = 0, metrics: dict | None = None):
+    payload = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "epoch": epoch,
+        "metrics": metrics or {},
+    }
+    save(path, payload)
+
+
+def load_train_state(path: str, state, with_optimizer: bool = True):
+    """Restore a TrainState saved by `save_train_state`.
+
+    Returns (state, epoch, metrics)."""
+    template = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "epoch": 0,
+        "metrics": None,
+    }
+    restored = load(path, template)
+    state = state.replace(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        step=restored["step"],
+        **({"opt_state": restored["opt_state"]} if with_optimizer else {}),
+    )
+    return state, restored["epoch"], restored["metrics"]

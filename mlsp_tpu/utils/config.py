@@ -1,0 +1,197 @@
+"""Experiment configuration: frozen dataclasses (hashable -> usable as
+static jit arguments) + YAML/CLI loading.
+
+Field names and defaults mirror the reference argparse surfaces
+(`PointDA/trainer.py:44-99`, `train_spst.py:56-100`,
+`PointSegDA/trainer.py:93-135`) plus the per-target overrides hardcoded
+at `PointDA/trainer.py:103-111` / `PointSegDA/trainer.py:139-150`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+
+# Per-target density radius tables (trainer.py:103-111, seg trainer:139-150).
+POINTDA_RADIUS = {"shapenet": 0.12, "modelnet": 0.13, "scannet": 0.135}
+POINTSEGDA_RADIUS = {"adobe": 0.0872, "faust": 0.091, "mit": 0.124, "scape": 0.115}
+
+
+@dataclass(frozen=True)
+class PointDAConfig:
+    """PointDA-10 classification DA experiment."""
+
+    exp_name: str = "MLSP"
+    out_path: str = "./experiments"
+    dataroot: str = "./data"
+    src_dataset: str = "shapenet"
+    trgt_dataset: str = "scannet"
+    epochs: int = 150
+    model: str = "dgcnn"
+    seed: int = 1
+    num_class: int = 10
+    num_points: int = 1024
+
+    batch_size: int = 32
+    test_batch_size: int = 32
+    optimizer: str = "ADAM"
+    lr: float = 1e-3
+    momentum: float = 0.9
+    wd: float = 5e-5
+    dropout: float = 0.5
+
+    # SSL recipe flags (defaults = reference defaults; train.sh recipe
+    # turns on Density_normal_viainput + Normal_ondef + Density_ondef).
+    DefRec_dist: str = "volume_based_voxels"
+    num_regions: int = 3
+    DefRec_on_src: bool = False
+    DefRec_on_trgt: bool = False
+    DefRec_weight: float = 0.5
+    apply_PCM: bool = True
+    mixup_params: float = 1.0
+    Norm_on_trgt: bool = False
+    normal_pred_weight: float = 0.5
+    Scan_on_trgt: bool = False
+    Scan_Rec_weight: float = 0.5
+    Density_on_trgt: bool = False
+    Density_weight: float = 0.05
+    density_num_class: int = 16
+    pergroup: float = 2.0
+    radius: float = 0.1
+    Density_normal_viainput: bool = False
+    Density_normal_viachamfer: bool = False
+    Density_normal_defpart: bool = False
+    Density_ondef: bool = False
+    Normal_ondef: bool = False
+    Density_normal_viainput_onsrc: bool = False
+    near: int = 20  # normal-estimation k
+
+    # SPL (inline pseudo-labeling; SPST is a separate stage/config)
+    apply_SPL: bool = False
+    gamma: float = 0.1
+    apply_SPL_v2: bool = False
+    gamma_v2: float = 1.6366
+
+    # runtime
+    knn_backend: str = "xla"
+    synthetic: bool = False  # use in-memory synthetic data (tests/bench)
+
+    def resolved(self) -> "PointDAConfig":
+        """Apply the per-target radius/class table (trainer.py:103-111)."""
+        r = POINTDA_RADIUS.get(self.trgt_dataset, self.radius)
+        return dataclasses.replace(self, radius=r, density_num_class=16)
+
+    @property
+    def paper_recipe(self) -> "PointDAConfig":
+        """The train.sh headline configuration."""
+        return dataclasses.replace(
+            self.resolved(),
+            Density_normal_viainput=True,
+            Normal_ondef=True,
+            Density_ondef=True,
+            DefRec_weight=0.5,
+            Density_weight=0.05,
+        )
+
+
+@dataclass(frozen=True)
+class SPSTConfig:
+    """Self-paced self-training stage (`train_spst.py:56-100`)."""
+
+    exp_name: str = "SPST"
+    out_path: str = "./experiments"
+    dataroot: str = "./data"
+    src_dataset: str = "shapenet"
+    trgt_dataset: str = "scannet"
+    model: str = "dgcnn"
+    model_file: str = "./experiments/MLSP/model.ckpt"
+    seed: int = 1
+    num_class: int = 10
+    num_points: int = 1024
+    batch_size: int = 32
+    test_batch_size: int = 32
+    optimizer: str = "ADAM"
+    lr: float = 1e-4
+    momentum: float = 0.9
+    wd: float = 5e-5
+    dropout: float = 0.5
+    apply_PCM: bool = True
+    mixup_params: float = 1.0
+    DefRec_weight: float = 0.5
+    epochs: int = 10
+    rounds: int = 5
+    threshold: float = 1.5492  # entropy threshold (v2 selection)
+    use_entropy_selection: bool = True  # select_target_by_conf_v2
+    spl_weight: float = 1.0
+    cls_weight: float = 1.0
+    weight_decay_per_epoch: float = 5e-3  # train_spst.py:499-500
+    density_num_class: int = 16
+    pergroup: float = 2.0
+    knn_backend: str = "xla"
+    synthetic: bool = False
+
+
+@dataclass(frozen=True)
+class PointSegDAConfig:
+    """PointSegDA segmentation DA (`PointSegDA/trainer.py:93-135`)."""
+
+    exp_name: str = "DefRec_PCM"
+    out_path: str = "./experiments"
+    dataroot: str = "./data/PointSegDAdataset"
+    src_dataset: str = "adobe"
+    trgt_dataset: str = "faust"
+    epochs: int = 200
+    seed: int = 1
+    num_class: int = 8
+    num_points: int = 2048
+    batch_size: int = 16
+    test_batch_size: int = 32
+    optimizer: str = "ADAM"
+    lr: float = 1e-3
+    momentum: float = 0.9
+    wd: float = 5e-5
+    dropout: float = 0.5
+
+    DefRec_dist: str = "volume_based_voxels"
+    num_regions: int = 3
+    min_pts: int = 20
+    apply_PCM: bool = False
+    mixup_params: float = 1.0
+    DefRec_weight: float = 0.02
+    DefRec_on_trgt: bool = True
+    Norm_on_trgt: bool = False
+    normal_pred_weight: float = 0.02
+    Density_on_trgt: bool = False
+    Density_weight: float = 0.02
+    density_num_class: int = 16
+    pergroup: float = 5.0
+    Density_normal_viainput: bool = False
+    Density_normal_viachamfer: bool = False
+    Density_normal_defpart: bool = False
+    Density_ondef: bool = False
+    Normal_ondef: bool = False
+    near: int = 10
+    shift: int = 10
+    density_radius: float = 0.081
+    knn_backend: str = "xla"
+    synthetic: bool = False
+
+    def resolved(self) -> "PointSegDAConfig":
+        r = POINTSEGDA_RADIUS.get(self.trgt_dataset, self.density_radius)
+        return dataclasses.replace(self, density_radius=r, density_num_class=16)
+
+
+def from_dict(cls, d: dict):
+    names = {f.name for f in dataclasses.fields(cls)}
+    unknown = set(d) - names
+    if unknown:
+        raise ValueError(f"unknown config keys for {cls.__name__}: {sorted(unknown)}")
+    return cls(**d)
+
+
+def load_yaml(cls, path: str):
+    import yaml
+
+    with open(path) as f:
+        return from_dict(cls, yaml.safe_load(f) or {})

@@ -1,0 +1,56 @@
+"""Experiment logging: timestamped stdout + run.log file.
+
+Parity with `utils/log.py:10-59` (`IOStream`), without torch: model
+saving goes through :mod:`mlsp_tpu.utils.checkpoint`.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+
+class IOStream:
+    def __init__(self, out_path: str, exp_name: str):
+        self.path = os.path.join(out_path, exp_name)
+        os.makedirs(self.path, exist_ok=True)
+        self._f = open(os.path.join(self.path, "run.log"), "a")
+
+    def cprint(self, text: str) -> None:
+        stamp = datetime.datetime.now().strftime("%d-%m-%y %H:%M:%S")
+        line = f"{stamp}: {text}"
+        print(line)
+        self._f.write(line + "\n")
+        self._f.flush()
+
+    def close(self) -> None:
+        self._f.close()
+
+    def print_progress(self, domain_set, partition, epoch, print_losses,
+                       true=None, pred=None):
+        """Format an epoch progress line; returns accuracy when labels given."""
+        from mlsp_tpu.utils import metrics as M
+
+        out = f"{partition} - {domain_set} {epoch}"
+        acc = 0.0
+        if true is not None and pred is not None:
+            acc = M.accuracy(true, pred)
+            bal = M.balanced_accuracy(true, pred)
+            out += f", acc: {acc:.4f}, avg acc: {bal:.4f}"
+        if print_losses is not None:
+            for k, v in print_losses.items():
+                out += f", {k} loss: {v:.4f}"
+        self.cprint(out)
+        return acc
+
+    def save_conf_mat(self, conf_matrix, fname: str, domain_set: str,
+                      class_names=None) -> None:
+        import csv
+
+        n = conf_matrix.shape[0]
+        names = class_names or [str(i) for i in range(n)]
+        with open(os.path.join(self.path, f"{domain_set}_{fname}"), "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow([""] + list(names))
+            for name, row in zip(names, conf_matrix):
+                w.writerow([name] + list(map(int, row)))

@@ -20,6 +20,10 @@ import jax
 # is honoured, so force CPU through it.
 jax.config.update("jax_platforms", "cpu")
 
+from mlsp_tpu.utils.cache import enable as _enable_cache
+
+_enable_cache(os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"))
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,164 @@
+"""End-to-end training smoke tests on synthetic data (CPU, tiny shapes)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlsp_tpu.data import synthetic
+from mlsp_tpu.models import DGCNN, PointNet
+from mlsp_tpu.train import create_train_state, steps
+from mlsp_tpu.utils.config import PointDAConfig
+
+B, N = 8, 64
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        batch_size=B, num_points=N, epochs=3, synthetic=True,
+        num_class=10, radius=0.3,
+    )
+    base.update(kw)
+    return PointDAConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def data():
+    sx, sy = synthetic.make_classification(B * 4, N, seed=1)
+    tx, _ = synthetic.make_classification(B * 4, N, seed=2, noise=0.05)
+    return sx, sy, tx
+
+
+def make_state(model, heads, spe=4, epochs=3):
+    sample = jnp.zeros((B, N, 3), jnp.float32)
+    return create_train_state(
+        model, jax.random.key(0), sample, epochs=epochs,
+        steps_per_epoch=spe, heads=heads,
+    )
+
+
+class TestPointDAStep:
+    def test_source_only_loss_decreases(self, data):
+        sx, sy, tx = data
+        cfg = tiny_cfg(apply_PCM=False, model="dgcnn")
+        model = DGCNN(num_classes=10, k=8)
+        state = make_state(model, ())
+        key = jax.random.key(0)
+        first = last = None
+        for step_i in range(8):
+            i = (step_i % 4) * B
+            key, k = jax.random.split(key)
+            state, m = steps.pointda_train_step(
+                state, jnp.asarray(sx[i:i+B]), jnp.asarray(sy[i:i+B]),
+                jnp.asarray(tx[i:i+B]), k, cfg,
+            )
+            if first is None:
+                first = float(m["total"])
+            last = float(m["total"])
+        assert np.isfinite(last)
+        assert last < first  # learning happened
+
+    def test_full_recipe_runs(self, data):
+        sx, sy, tx = data
+        cfg = tiny_cfg(
+            model="dgcnn",
+            Density_normal_viainput=True, Normal_ondef=True, Density_ondef=True,
+        )
+        model = DGCNN(num_classes=10, k=8)
+        state = make_state(model, ("defrec", "normal", "scan", "density"))
+        state, m = steps.pointda_train_step(
+            state, jnp.asarray(sx[:B]), jnp.asarray(sy[:B]),
+            jnp.asarray(tx[:B]), jax.random.key(1), cfg,
+        )
+        for name in ("src_mixup", "trgt_DefRec", "trgt_def_normal",
+                     "trgt_def_density_cls", "trgt_def_density_mse", "total"):
+            assert name in m, name
+            assert np.isfinite(float(m[name])), name
+        # normal cos-loss in [-w, 0]
+        assert -0.5 <= float(m["trgt_def_normal"]) <= 0.0
+
+    def test_chamfer_transport_variant(self, data):
+        sx, sy, tx = data
+        cfg = tiny_cfg(
+            model="dgcnn",
+            Density_normal_viachamfer=True, Normal_ondef=True, Density_ondef=True,
+        )
+        model = DGCNN(num_classes=10, k=8)
+        state = make_state(model, ("defrec", "normal", "density"))
+        state, m = steps.pointda_train_step(
+            state, jnp.asarray(sx[:B]), jnp.asarray(sy[:B]),
+            jnp.asarray(tx[:B]), jax.random.key(1), cfg,
+        )
+        assert np.isfinite(float(m["total"]))
+        assert "trgt_def_normal" in m
+
+    def test_all_aux_branches(self, data):
+        sx, sy, tx = data
+        cfg = tiny_cfg(
+            model="dgcnn", DefRec_on_src=True, DefRec_on_trgt=True,
+            Norm_on_trgt=True, Scan_on_trgt=True, Density_on_trgt=True,
+        )
+        model = DGCNN(num_classes=10, k=8)
+        state = make_state(model, ("defrec", "normal", "scan", "density"))
+        state, m = steps.pointda_train_step(
+            state, jnp.asarray(sx[:B]), jnp.asarray(sy[:B]),
+            jnp.asarray(tx[:B]), jax.random.key(2), cfg,
+        )
+        for name in ("src_DefRec", "trgt_DefRec", "trgt_Normal",
+                     "trgt_Rec_scan", "trgt_Density_cls"):
+            assert np.isfinite(float(m[name])), name
+
+    def test_pointnet_variant(self, data):
+        sx, sy, tx = data
+        cfg = tiny_cfg(model="pointnet", DefRec_on_trgt=True)
+        model = PointNet(num_classes=10)
+        state = make_state(model, ("defrec",))
+        state, m = steps.pointda_train_step(
+            state, jnp.asarray(sx[:B]), jnp.asarray(sy[:B]),
+            jnp.asarray(tx[:B]), jax.random.key(3), cfg,
+        )
+        assert np.isfinite(float(m["total"]))
+
+
+class TestPCM:
+    def test_mix_shapes(self, data):
+        sx, sy, _ = data
+        mixed, (ya, yb, lam) = steps.pcm_mix(
+            jax.random.key(0), jnp.asarray(sx[:B]), jnp.asarray(sy[:B]), 1.0
+        )
+        assert mixed.shape == (B, N, 3)
+        assert 0.0 <= float(lam) <= 1.0
+        # Every mixed point exists in one of the two parent clouds.
+        mixed0 = np.asarray(mixed[0])
+        parents = np.concatenate([sx[:B].reshape(-1, 3)])
+        d = ((mixed0[:, None] - parents[None]) ** 2).sum(-1).min(1)
+        assert d.max() < 1e-8
+
+    def test_mix_segmentation_labels_follow_points(self, data):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((4, 32, 3)).astype(np.float32)
+        # label = sign bucket of x coordinate — transported labels must
+        # stay consistent with their points
+        y = (x[..., 0] > 0).astype(np.int64)
+        mixed, my = steps.pcm_mix_segmentation(
+            jax.random.key(1), jnp.asarray(x), jnp.asarray(y), 1.0
+        )
+        mixed, my = np.asarray(mixed), np.asarray(my)
+        np.testing.assert_array_equal((mixed[..., 0] > 0).astype(np.int64), my)
+
+
+class TestTrainerLoop:
+    def test_train_pointda_synthetic(self, tmp_path):
+        from mlsp_tpu.train import train_pointda
+
+        cfg = PointDAConfig(
+            synthetic=True, epochs=2, batch_size=8, num_points=64,
+            out_path=str(tmp_path), exp_name="t", model="pointnet",
+            apply_PCM=False, test_batch_size=8,
+        )
+        state, results = train_pointda(cfg)
+        assert results["test"]["acc"] >= 0.0
+        assert (tmp_path / "t" / "model.ckpt").exists()
+        assert (tmp_path / "t" / "run.log").exists()
