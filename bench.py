@@ -42,7 +42,7 @@ def main() -> None:
         Density_normal_viainput=True, Normal_ondef=True, Density_ondef=True,
         radius=0.135,
     )
-    model = DGCNN(num_classes=10, k=20)
+    model = DGCNN(num_classes=10, k=20, knn_backend="auto")
     sample = jnp.zeros((B, N, 3), jnp.float32)
     state = create_train_state(
         model, jax.random.key(0), sample, epochs=150, steps_per_epoch=100,

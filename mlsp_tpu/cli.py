@@ -1,0 +1,93 @@
+"""Command-line entry points.
+
+Mirrors the reference's three trainer scripts as subcommands with the
+same flag names (`PointDA/trainer.py:44-99`, `train_spst.py:56-100`,
+`PointSegDA/trainer.py:93-135`):
+
+    python -m mlsp_tpu.cli trainer --src_dataset shapenet --trgt_dataset scannet \
+        --Density_normal_viainput True --Normal_ondef True --Density_ondef True
+    python -m mlsp_tpu.cli spst --model_file experiments/MLSP/model.ckpt
+    python -m mlsp_tpu.cli seg --src_dataset adobe --trgt_dataset faust
+
+Every dataclass field is exposed automatically; booleans accept
+true/false/1/0/yes/no like the reference's str2bool.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+
+def _str2bool(v: str) -> bool:
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+def _add_config_args(parser: argparse.ArgumentParser, cls) -> None:
+    for f in dataclasses.fields(cls):
+        arg = f"--{f.name}"
+        if f.type in ("bool", bool):
+            parser.add_argument(arg, type=_str2bool, default=f.default)
+        elif f.type in ("int", int):
+            parser.add_argument(arg, type=int, default=f.default)
+        elif f.type in ("float", float):
+            parser.add_argument(arg, type=float, default=f.default)
+        else:
+            parser.add_argument(arg, type=str, default=f.default)
+
+
+def _to_config(cls, args: argparse.Namespace):
+    names = {f.name for f in dataclasses.fields(cls)}
+    return cls(**{k: v for k, v in vars(args).items() if k in names})
+
+
+def main(argv=None) -> int:
+    from mlsp_tpu.utils.cache import enable as enable_cache
+    from mlsp_tpu.utils.config import PointDAConfig, PointSegDAConfig, SPSTConfig
+
+    parser = argparse.ArgumentParser(
+        prog="mlsp_tpu", description="TPU-native MLSP point-cloud DA framework"
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_train = sub.add_parser("trainer", help="PointDA-10 classification DA")
+    _add_config_args(p_train, PointDAConfig)
+    p_train.add_argument("--paper_recipe", type=_str2bool, default=False,
+                         help="apply the train.sh headline flag set")
+
+    p_spst = sub.add_parser("spst", help="SPST pseudo-label self-training")
+    _add_config_args(p_spst, SPSTConfig)
+
+    p_seg = sub.add_parser("seg", help="PointSegDA segmentation DA")
+    _add_config_args(p_seg, PointSegDAConfig)
+
+    args = parser.parse_args(argv)
+    enable_cache()
+
+    if args.command == "trainer":
+        from mlsp_tpu.train.pointda_trainer import train_pointda
+
+        cfg = _to_config(PointDAConfig, args)
+        if args.paper_recipe:
+            cfg = cfg.paper_recipe
+        train_pointda(cfg)
+    elif args.command == "spst":
+        from mlsp_tpu.train.spst import train_spst
+
+        train_spst(_to_config(SPSTConfig, args))
+    elif args.command == "seg":
+        from mlsp_tpu.train.pointsegda_trainer import train_pointsegda
+
+        train_pointsegda(_to_config(PointSegDAConfig, args))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -125,7 +125,7 @@ def make_segmentation(
         p = p - p.mean(0)
         p = p / np.linalg.norm(p, axis=1).max()
         z = p[:, 2]
-        band = np.floor((z - z.min()) / (z.ptp() + 1e-9) * num_classes)
+        band = np.floor((z - z.min()) / (np.ptp(z) + 1e-9) * num_classes)
         labels[i] = np.clip(band, 0, num_classes - 1)
         clouds[i] = p.astype(np.float32)
     return clouds, labels

@@ -32,7 +32,7 @@ class DGCNN(nn.Module):
     dropout: float = 0.5
     density_num_cls: int = 16
     pergroup: float = 2.0
-    knn_backend: str = "xla"
+    knn_backend: str = "auto"
 
     def _edge(self, x):
         idx = knn_indices(x, self.k, backend=self.knn_backend)

@@ -61,7 +61,7 @@ class DGCNNSeg(nn.Module):
     dropout: float = 0.5
     density_num_cls: int = 16
     pergroup: float = 5.0
-    knn_backend: str = "xla"
+    knn_backend: str = "auto"
 
     def _edge(self, x):
         idx = knn_indices(x, self.k, backend=self.knn_backend)

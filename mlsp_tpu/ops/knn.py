@@ -41,6 +41,8 @@ def knn_indices(
     Returns:
       int32 [..., N, k] neighbour indices into `y`.
     """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "pallas" and y is None and x.ndim == 3:
         from mlsp_tpu.ops.pallas.knn_pallas import knn_pallas
 

@@ -1,0 +1,142 @@
+"""PointSegDA segmentation DA trainer.
+
+Orchestrates `PointSegDA/trainer.py:282-511`: zip source/target
+streams, fused seg+SSL step, per-epoch validation on both domains,
+best model by *lowest source validation seg loss*, final target test.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlsp_tpu.data import batches, load_pointsegda
+from mlsp_tpu.models import DGCNNSeg
+from mlsp_tpu.train import seg_steps
+from mlsp_tpu.train.state import create_train_state
+from mlsp_tpu.utils import checkpoint, metrics
+from mlsp_tpu.utils.config import PointSegDAConfig
+from mlsp_tpu.utils.logging import IOStream
+
+MAX_LOSS = 9e9
+
+
+def _pad(x, y, size):
+    n = x.shape[0]
+    if n == size:
+        return x, y, n
+    reps = -(-size // n)
+    return np.concatenate([x] * reps)[:size], np.concatenate([y] * reps)[:size], n
+
+
+def evaluate_seg(state, data, label, batch_size):
+    """Seg loss / mIoU / accuracy (averaged per sample, reference-style)."""
+    seg_loss = miou = acc = 0.0
+    n_total = 0
+    for bx, by in batches(data, label, batch_size):
+        bx, by, n = _pad(bx, by, batch_size)
+        logits = np.asarray(seg_steps.seg_eval_step(state, jnp.asarray(bx)))[:n]
+        by = by[:n]
+        logp = logits - np.log(
+            np.exp(logits - logits.max(-1, keepdims=True)).sum(-1, keepdims=True)
+        ) - logits.max(-1, keepdims=True)
+        seg_loss += -np.take_along_axis(logp, by[..., None], -1).mean() * n
+        preds = logits.argmax(-1)
+        bm, ba = metrics.seg_metrics(by, preds)
+        miou += bm
+        acc += ba
+        n_total += n
+    return seg_loss / n_total, miou / n_total, acc / n_total
+
+
+def train_pointsegda(cfg: PointSegDAConfig, io: IOStream | None = None):
+    cfg = cfg.resolved()
+    io = io or IOStream(cfg.out_path, f"{cfg.exp_name}_{cfg.src_dataset}_{cfg.trgt_dataset}")
+    io.cprint(str(cfg))
+    rng = np.random.default_rng(cfg.seed)
+    key = jax.random.key(cfg.seed)
+
+    load = lambda name, part: load_pointsegda(name, cfg.dataroot, part, cfg.synthetic)
+    src_train, src_val = load(cfg.src_dataset, "train"), load(cfg.src_dataset, "val")
+    trgt_train, trgt_val = load(cfg.trgt_dataset, "train"), load(cfg.trgt_dataset, "val")
+    trgt_test = load(cfg.trgt_dataset, "test")
+
+    # batch = min(len(src), len(trgt), batch_size)  (trainer.py:184)
+    bsz = min(len(src_train), len(trgt_train), cfg.batch_size)
+    steps_per_epoch = min(len(src_train), len(trgt_train)) // bsz
+
+    model = DGCNNSeg(
+        num_classes=cfg.num_class, dropout=cfg.dropout,
+        density_num_cls=cfg.density_num_class, pergroup=cfg.pergroup,
+        knn_backend=cfg.knn_backend,
+    )
+    N = src_train.data.shape[1]
+    sample = jnp.zeros((bsz, N, 3), jnp.float32)
+    key, ik = jax.random.split(key)
+    state = create_train_state(
+        model, ik, sample, optimizer=cfg.optimizer, lr=cfg.lr, wd=cfg.wd,
+        momentum=cfg.momentum, epochs=cfg.epochs, steps_per_epoch=steps_per_epoch,
+        heads=("seg", "defrec", "normal", "density"),
+    )
+
+    best = {"src_val_loss": MAX_LOSS, "epoch": -1, "state": state}
+    ckpt_path = os.path.join(io.path, "model.ckpt")
+
+    for epoch in range(cfg.epochs):
+        sums: dict[str, float] = {}
+        count = 0
+        src_miou_sum = 0.0
+        src_iter = batches(src_train.data, src_train.label, bsz,
+                           shuffle=True, drop_last=True, rng=rng)
+        trgt_iter = batches(trgt_train.data, trgt_train.label, bsz,
+                            shuffle=True, drop_last=True, rng=rng)
+        for (sx, sy), (tx, _) in zip(src_iter, trgt_iter):
+            key, k = jax.random.split(key)
+            state, m, (preds, mixed_y) = seg_steps.pointsegda_train_step(
+                state, jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(tx), k, cfg
+            )
+            bs = sx.shape[0]
+            count += bs
+            for name, v in m.items():
+                sums[name] = sums.get(name, 0.0) + float(v) * bs
+            bm, _ = metrics.seg_metrics(np.asarray(mixed_y), np.asarray(preds))
+            src_miou_sum += bm
+
+        losses = {k_: v / max(count, 1) for k_, v in sums.items()}
+        losses["src_train_mIoU"] = src_miou_sum / max(count, 1)
+        io.print_progress("Source+Target", "Trn", epoch, losses)
+
+        src_val_loss, src_val_miou, src_val_acc = evaluate_seg(
+            state, src_val.data, src_val.label, cfg.test_batch_size)
+        trgt_val_loss, trgt_val_miou, trgt_val_acc = evaluate_seg(
+            state, trgt_val.data, trgt_val.label, cfg.test_batch_size)
+        io.cprint(
+            f"Val - epoch {epoch}: src loss {src_val_loss:.4f} mIoU {src_val_miou:.4f} "
+            f"acc {src_val_acc:.4f} | trgt loss {trgt_val_loss:.4f} "
+            f"mIoU {trgt_val_miou:.4f} acc {trgt_val_acc:.4f}"
+        )
+
+        # Best by lowest source val seg loss (trainer.py:457-465).
+        if src_val_loss < best["src_val_loss"]:
+            best.update(
+                src_val_loss=src_val_loss, src_val_miou=src_val_miou,
+                trgt_val_loss=trgt_val_loss, trgt_val_miou=trgt_val_miou,
+                trgt_val_acc=trgt_val_acc, epoch=epoch, state=state,
+            )
+            checkpoint.save_train_state(ckpt_path, state, epoch,
+                                        {"src_val_loss": src_val_loss})
+
+    io.cprint(f"Best model was found at epoch {best['epoch']}")
+    test_loss, test_miou, test_acc = evaluate_seg(
+        best["state"], trgt_test.data, trgt_test.label, cfg.test_batch_size)
+    io.cprint(
+        f"target test seg loss: {test_loss:.4f}, target test seg mIOU: "
+        f"{test_miou:.4f}, target test seg accuracy: {test_acc:.4f}"
+    )
+    return best["state"], {
+        "best": {k_: v for k_, v in best.items() if k_ != "state"},
+        "test": {"loss": test_loss, "mIoU": test_miou, "acc": test_acc},
+    }

@@ -1,0 +1,214 @@
+"""SPST: self-paced self-training with pseudo-labels.
+
+Port of `PointDA/train_spst.py`: load a pretrained MLSP model, then for
+each round select confident target samples (softmax-entropy below
+threshold — `select_target_by_conf_v2`, `:239-281` — or max-prob above
+threshold, `:284-313`), and fine-tune on pseudo-labeled target (weight
+`spl_weight`) + source mixup/CE (weight `cls_weight`), both weights
+decaying 5e-3 per epoch (`:499-500`). Best model tracked by source val
+accuracy; best-test checkpointed separately (`:524-539`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlsp_tpu import losses as L
+from mlsp_tpu.data import batches, load_pointda
+from mlsp_tpu.models import make_model
+from mlsp_tpu.train import steps
+from mlsp_tpu.train.pointda_trainer import evaluate
+from mlsp_tpu.train.state import create_train_state
+from mlsp_tpu.train.steps import _apply, augment_batch, pcm_mix
+from mlsp_tpu.transforms.augment import random_rotate_one_axis
+from mlsp_tpu.utils import checkpoint
+from mlsp_tpu.utils.config import SPSTConfig
+from mlsp_tpu.utils.logging import IOStream
+from mlsp_tpu.utils import metrics
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def spst_train_step(state, t_x, t_y, s_x, s_y, spl_weight, cls_weight, key, cfg):
+    """One SPST iteration (`train_spst.py:472-498`).
+
+    Pseudo-labeled target gets z-rotation only (`DataLoad.__getitem__`,
+    `:333-338`); source keeps the full loader augmentation.
+    """
+    keys = jax.random.split(key, 6)
+    t_x = random_rotate_one_axis(keys[0], t_x, "z")
+    s_x = augment_batch(keys[1], s_x)
+
+    def loss_fn(params):
+        bstats = state.batch_stats
+        m = {}
+        t_logits, bstats = _apply(state, params, bstats, t_x, (), keys[2])
+        loss_t = spl_weight * L.cross_entropy(t_logits["cls"], t_y)
+        m["trgt_cls"] = loss_t
+        if cfg.apply_PCM:
+            mixed, (ya, yb, lam) = pcm_mix(keys[3], s_x, s_y, cfg.mixup_params)
+            s_logits, bstats = _apply(state, params, bstats, mixed, (), keys[4])
+            loss_s = L.mixup_cross_entropy(
+                s_logits["cls"], ya, yb, lam, cfg.DefRec_weight
+            )
+            m["src_mixup"] = loss_s
+        else:
+            s_logits, bstats = _apply(state, params, bstats, s_x, (), keys[4])
+            loss_s = cls_weight * L.cross_entropy(s_logits["cls"], s_y)
+            m["src_cls"] = loss_s
+        total = loss_t + loss_s
+        m["total"] = total
+        return total, (m, bstats)
+
+    grads, (m, bstats) = jax.grad(loss_fn, has_aux=True)(state.params)
+    return state.apply_gradients(grads=grads).replace(batch_stats=bstats), m
+
+
+def select_pseudo_labels(state, data, label, indices, batch_size, threshold,
+                         use_entropy, io, epoch):
+    """Confidence-gated target selection; returns (clouds, pseudo_labels).
+
+    Entropy variant reproduces the reference's double-softmax quirk
+    (`train_spst.py:258`): entropy of softmax(softmax(logits)).
+    """
+    pcs, plabels, tlabels = [], [], []
+    for bx, by in batches(data, label, batch_size, indices=indices):
+        n = bx.shape[0]
+        if n < batch_size:  # pad for the jitted forward
+            reps = -(-batch_size // n)
+            bx_p = np.concatenate([bx] * reps)[:batch_size]
+        else:
+            bx_p = bx
+        logits = np.asarray(steps.eval_step(state, jnp.asarray(bx_p)))[:n]
+        e = np.exp(logits - logits.max(-1, keepdims=True))
+        conf = e / e.sum(-1, keepdims=True)
+        pred = conf.argmax(-1)
+        if use_entropy:
+            e2 = np.exp(conf - conf.max(-1, keepdims=True))
+            logsm2 = conf - conf.max(-1, keepdims=True) - np.log(e2.sum(-1, keepdims=True))
+            ent = -(conf * logsm2).sum(-1)
+            keep = ent < threshold
+        else:
+            keep = conf.max(-1) > threshold
+        pcs.append(bx[keep])
+        plabels.append(pred[keep])
+        tlabels.append(by[keep])
+    pcs = np.concatenate(pcs) if pcs else np.zeros((0,) + data.shape[1:], data.dtype)
+    plabels = np.concatenate(plabels) if plabels else np.zeros((0,), np.int64)
+    tlabels = np.concatenate(tlabels) if tlabels else np.zeros((0,), np.int64)
+    if len(plabels):
+        io.print_progress("pseudo_label", "for_train", epoch, None, tlabels, plabels)
+    io.cprint(f"pseudo label selection: {len(plabels)}/{len(indices)}")
+    return pcs, plabels.astype(np.int64)
+
+
+def train_spst(cfg: SPSTConfig, io: IOStream | None = None, initial_state=None):
+    io = io or IOStream(cfg.out_path, cfg.exp_name)
+    io.cprint(str(cfg))
+    rng = np.random.default_rng(cfg.seed)
+    key = jax.random.key(cfg.seed)
+
+    src_train = load_pointda(cfg.src_dataset, cfg.dataroot, "train",
+                             cfg.num_points, cfg.synthetic, cfg.seed)
+    trgt_train = load_pointda(cfg.trgt_dataset, cfg.dataroot, "train",
+                              cfg.num_points, cfg.synthetic, cfg.seed)
+    trgt_test = load_pointda(cfg.trgt_dataset, cfg.dataroot, "test",
+                             cfg.num_points, cfg.synthetic, cfg.seed)
+
+    model = make_model(cfg.model, cfg.num_class, dropout=cfg.dropout)
+    sample = jnp.zeros((cfg.batch_size, cfg.num_points, 3), jnp.float32)
+    key, ik = jax.random.split(key)
+    spe = len(trgt_train.train_ind) // cfg.batch_size
+    heads = ("defrec", "normal", "scan", "density") if cfg.model == "dgcnn" else ("defrec",)
+    state = create_train_state(
+        model, ik, sample, optimizer=cfg.optimizer, lr=cfg.lr, wd=cfg.wd,
+        momentum=cfg.momentum, epochs=cfg.epochs * cfg.rounds,
+        steps_per_epoch=max(spe, 1), heads=heads,
+    )
+    if initial_state is not None:
+        state = state.replace(params=initial_state.params,
+                              batch_stats=initial_state.batch_stats)
+    elif cfg.model_file and os.path.exists(cfg.model_file):
+        state, _, _ = checkpoint.load_train_state(cfg.model_file, state,
+                                                  with_optimizer=False)
+        io.cprint(f"loaded pretrained model from {cfg.model_file}")
+
+    initial = evaluate(state, trgt_test.data, trgt_test.label,
+                       cfg.test_batch_size, cfg.num_class)
+    io.cprint(f"initial target test accuracy: {initial['acc']:.4f}")
+
+    spl_weight, cls_weight = cfg.spl_weight, cfg.cls_weight
+    best = {"src_val_acc": 0.0, "trgt_test_acc": 0.0, "epoch": -1, "state": state}
+    curves = {"src_val_acc": [], "src_val_loss": [],
+              "trgt_val_acc": [], "trgt_val_loss": []}
+
+    for rnd in range(cfg.rounds):
+        pcs, plabels = select_pseudo_labels(
+            state, trgt_train.data, trgt_train.label, trgt_train.train_ind,
+            cfg.test_batch_size, cfg.threshold, cfg.use_entropy_selection,
+            io, rnd,
+        )
+        if len(pcs) < cfg.batch_size:
+            io.cprint(f"round {rnd}: only {len(pcs)} confident samples; skipping")
+            continue
+        for epoch in range(cfg.epochs):
+            io.cprint(f"spl_weight: {spl_weight:.4f}, cls_weight: {cls_weight:.4f}")
+            sums, count = {}, 0
+            t_iter = batches(pcs, plabels, cfg.batch_size, shuffle=True,
+                             drop_last=True, rng=rng)
+            s_iter = batches(src_train.data, src_train.label, cfg.batch_size,
+                             indices=src_train.train_ind, shuffle=True,
+                             drop_last=True, rng=rng)
+            for (tx, ty), (sx, sy) in zip(t_iter, s_iter):
+                key, k = jax.random.split(key)
+                state, m = spst_train_step(
+                    state, jnp.asarray(tx), jnp.asarray(ty),
+                    jnp.asarray(sx), jnp.asarray(sy),
+                    jnp.float32(spl_weight), jnp.float32(cls_weight), k, cfg,
+                )
+                bs = tx.shape[0]
+                count += bs
+                for name, v in m.items():
+                    sums[name] = sums.get(name, 0.0) + float(v) * bs
+            spl_weight -= cfg.weight_decay_per_epoch
+            cls_weight -= cfg.weight_decay_per_epoch
+            io.print_progress("SPST", "Trn", rnd * cfg.epochs + epoch,
+                              {k_: v / max(count, 1) for k_, v in sums.items()})
+
+            src_val = evaluate(state, src_train.data, src_train.label,
+                               cfg.test_batch_size, cfg.num_class, src_train.val_ind)
+            trgt_val = evaluate(state, trgt_train.data, trgt_train.label,
+                                cfg.test_batch_size, cfg.num_class, trgt_train.val_ind)
+            trgt_tst = evaluate(state, trgt_test.data, trgt_test.label,
+                                cfg.test_batch_size, cfg.num_class)
+            for k_, v in (("src_val_acc", src_val["acc"]), ("src_val_loss", src_val["loss"]),
+                          ("trgt_val_acc", trgt_val["acc"]), ("trgt_val_loss", trgt_val["loss"])):
+                curves[k_].append(v)
+            with open(os.path.join(io.path, "finetune_convergence.json"), "w") as f:
+                json.dump(curves, f)
+
+            if src_val["acc"] > best["src_val_acc"]:
+                best.update(src_val_acc=src_val["acc"],
+                            epoch=rnd * cfg.epochs + epoch, state=state)
+                checkpoint.save_train_state(
+                    os.path.join(io.path, "model.ckpt"), state, epoch,
+                    {"src_val_acc": src_val["acc"]})
+                io.cprint(
+                    f"== Best val model at epoch {best['epoch']}: src val "
+                    f"{src_val['acc']:.4f}, trgt test {trgt_tst['acc']:.4f}")
+                if trgt_tst["acc"] > best["trgt_test_acc"]:
+                    best["trgt_test_acc"] = trgt_tst["acc"]
+                    checkpoint.save_train_state(
+                        os.path.join(io.path, "best_model.ckpt"), state, epoch,
+                        {"trgt_test_acc": trgt_tst["acc"]})
+
+    final = evaluate(best["state"], trgt_test.data, trgt_test.label,
+                     cfg.test_batch_size, cfg.num_class)
+    io.cprint(f"target test accuracy: {final['acc']:.4f}")
+    return best["state"], {"initial": initial, "final": final,
+                           "best": {k_: v for k_, v in best.items() if k_ != "state"}}

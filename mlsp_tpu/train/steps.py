@@ -126,7 +126,7 @@ def _ssl_recipe_losses(cfg, logits, x_orig, mask, normal_gt, dvec, dval, prefix,
     return total
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("cfg",))
 def pointda_train_step(state, src_x, src_y, trgt_x, key, cfg):
     """Full MLSP PointDA train iteration. Returns (state, metrics)."""
     keys = jax.random.split(key, 16)

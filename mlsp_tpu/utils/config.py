@@ -74,7 +74,7 @@ class PointDAConfig:
     gamma_v2: float = 1.6366
 
     # runtime
-    knn_backend: str = "xla"
+    knn_backend: str = "auto"
     synthetic: bool = False  # use in-memory synthetic data (tests/bench)
 
     def resolved(self) -> "PointDAConfig":
@@ -128,7 +128,7 @@ class SPSTConfig:
     weight_decay_per_epoch: float = 5e-3  # train_spst.py:499-500
     density_num_class: int = 16
     pergroup: float = 2.0
-    knn_backend: str = "xla"
+    knn_backend: str = "auto"
     synthetic: bool = False
 
 
@@ -174,7 +174,7 @@ class PointSegDAConfig:
     near: int = 10
     shift: int = 10
     density_radius: float = 0.081
-    knn_backend: str = "xla"
+    knn_backend: str = "auto"
     synthetic: bool = False
 
     def resolved(self) -> "PointSegDAConfig":

@@ -1,0 +1,34 @@
+"""Pallas kernel tests (interpret mode on the CPU test mesh; real-TPU
+correctness/perf are exercised by bench.py and the verify recipe)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlsp_tpu.ops.knn import knn_indices
+from mlsp_tpu.ops.pallas.knn_pallas import knn_pallas
+
+
+class TestKnnPallas:
+    @pytest.mark.parametrize("C", [3, 8])
+    def test_matches_xla(self, rng, C):
+        x = jnp.asarray(rng.standard_normal((2, 128, C)), jnp.float32)
+        a = np.asarray(knn_indices(x, 8))
+        b = np.asarray(knn_pallas(x, 8, tile=64, interpret=True))
+        # Allow tie reorders: compare exact distance sets.
+        xn = np.asarray(x, np.float64)
+        d = ((xn[:, :, None] - xn[:, None]) ** 2).sum(-1)
+        da = np.sort(np.take_along_axis(d, a, -1), -1)
+        db = np.sort(np.take_along_axis(d, b, -1), -1)
+        np.testing.assert_allclose(da, db, atol=1e-9)
+
+    def test_self_first(self, rng):
+        x = jnp.asarray(rng.standard_normal((1, 128, 3)), jnp.float32)
+        idx = np.asarray(knn_pallas(x, 4, tile=64, interpret=True))
+        np.testing.assert_array_equal(idx[0, :, 0], np.arange(128))
+
+    def test_uneven_tile_fallback(self, rng):
+        # N=96 not divisible by 64 -> tile shrinks to 32 internally.
+        x = jnp.asarray(rng.standard_normal((1, 96, 3)), jnp.float32)
+        idx = np.asarray(knn_pallas(x, 4, tile=64, interpret=True))
+        assert idx.shape == (1, 96, 4)

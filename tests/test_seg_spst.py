@@ -1,0 +1,129 @@
+"""PointSegDA + SPST end-to-end tests (tiny synthetic, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlsp_tpu.data import synthetic
+from mlsp_tpu.models import DGCNNSeg
+from mlsp_tpu.train import create_train_state, seg_steps
+from mlsp_tpu.utils.config import PointSegDAConfig, SPSTConfig
+
+B, N = 4, 64
+
+
+def seg_cfg(**kw):
+    base = dict(batch_size=B, synthetic=True, epochs=2, density_radius=0.3)
+    base.update(kw)
+    return PointSegDAConfig(**base)
+
+
+class TestSegStep:
+    # function-scoped: the train step donates its input state buffers
+    @pytest.fixture()
+    def setup(self):
+        sx, sy = synthetic.make_segmentation(B, N, seed=1)
+        tx, _ = synthetic.make_segmentation(B, N, seed=2)
+        model = DGCNNSeg(num_classes=8, k=8)
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((B, N, 3), jnp.float32),
+            epochs=2, steps_per_epoch=2,
+            heads=("seg", "defrec", "normal", "density"),
+        )
+        return state, sx, sy, tx
+
+    def test_basic_defrec(self, setup):
+        state, sx, sy, tx = setup
+        cfg = seg_cfg(DefRec_on_trgt=True)
+        state, m, (preds, ly) = seg_steps.pointsegda_train_step(
+            state, jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(tx),
+            jax.random.key(1), cfg,
+        )
+        assert np.isfinite(float(m["total"]))
+        assert "src_seg" in m and "trgt_DefRec" in m
+        assert preds.shape == (B, N)
+
+    def test_full_recipe_with_pcm(self, setup):
+        state, sx, sy, tx = setup
+        cfg = seg_cfg(
+            apply_PCM=True, DefRec_on_trgt=False,
+            Density_normal_viainput=True, Normal_ondef=True, Density_ondef=True,
+        )
+        state, m, _ = seg_steps.pointsegda_train_step(
+            state, jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(tx),
+            jax.random.key(2), cfg,
+        )
+        for name in ("src_seg", "trgt_DefRec", "trgt_def_normal",
+                     "trgt_def_density_cls"):
+            assert np.isfinite(float(m[name])), name
+
+    def test_trainer_loop(self, tmp_path):
+        from mlsp_tpu.train import train_pointsegda
+
+        cfg = seg_cfg(out_path=str(tmp_path), epochs=2, DefRec_on_trgt=True,
+                      test_batch_size=8)
+        # shrink: synthetic seg makes 48 train examples; batch 4 -> 12 steps
+        state, results = train_pointsegda(cfg)
+        assert 0.0 <= results["test"]["mIoU"] <= 1.0
+        assert results["best"]["epoch"] >= 0
+
+
+class TestSPST:
+    def test_spst_loop(self, tmp_path):
+        from mlsp_tpu.train import train_spst
+
+        cfg = SPSTConfig(
+            synthetic=True, out_path=str(tmp_path), exp_name="spst",
+            batch_size=8, num_points=64, epochs=1, rounds=1,
+            threshold=10.0,  # accept everything (entropy < 10)
+            model="pointnet", model_file="",
+            test_batch_size=8,
+        )
+        state, results = train_spst(cfg)
+        assert "final" in results
+        assert (tmp_path / "spst" / "finetune_convergence.json").exists()
+
+    def test_selection_thresholds(self):
+        """Entropy gate keeps only confident samples."""
+        from mlsp_tpu.train.spst import select_pseudo_labels
+        from mlsp_tpu.models import PointNet
+        from mlsp_tpu.utils.logging import IOStream
+        import tempfile
+
+        data, label = synthetic.make_classification(16, 64, seed=3)
+        model = PointNet(num_classes=10)
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((8, 64, 3), jnp.float32),
+            heads=("defrec",),
+        )
+        with tempfile.TemporaryDirectory() as d:
+            io = IOStream(d, "t")
+            # threshold 0 -> nothing selected (entropy always > 0)
+            pcs, pl = select_pseudo_labels(
+                state, data, label, np.arange(16), 8, 0.0, True, io, 0)
+            assert len(pcs) == 0
+            # huge threshold -> everything selected
+            pcs, pl = select_pseudo_labels(
+                state, data, label, np.arange(16), 8, 100.0, True, io, 0)
+            assert len(pcs) == 16
+            # max-prob variant
+            pcs, pl = select_pseudo_labels(
+                state, data, label, np.arange(16), 8, 0.0, False, io, 0)
+            assert len(pcs) == 16
+
+
+class TestCLI:
+    def test_cli_help_and_tiny_run(self, tmp_path, capsys):
+        from mlsp_tpu.cli import main
+
+        with pytest.raises(SystemExit):
+            main(["--help"])
+        rc = main([
+            "trainer", "--synthetic", "1", "--epochs", "1",
+            "--batch_size", "8", "--num_points", "64", "--model", "pointnet",
+            "--apply_PCM", "0", "--out_path", str(tmp_path),
+            "--exp_name", "cli_t", "--test_batch_size", "8",
+        ])
+        assert rc == 0
+        assert (tmp_path / "cli_t" / "run.log").exists()
