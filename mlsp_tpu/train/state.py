@@ -32,6 +32,17 @@ def cosine_per_epoch(base_lr: float, epochs: int, steps_per_epoch: int):
     return sched
 
 
+def step_schedule(base_lr: float, decay_epochs: int, decay_rate: float,
+                  steps_per_epoch: int):
+    """StepLR-style schedule (reference `build_opti_sche` StepLR path)."""
+
+    def sched(step):
+        epoch = step // max(steps_per_epoch, 1)
+        return base_lr * decay_rate ** (epoch // decay_epochs)
+
+    return sched
+
+
 def make_optimizer(
     name: str,
     lr: float,
@@ -39,12 +50,39 @@ def make_optimizer(
     momentum: float,
     epochs: int,
     steps_per_epoch: int,
+    scheduler: str = "cos",
+    decay_epochs: int = 50,
+    decay_rate: float = 0.5,
 ) -> optax.GradientTransformation:
-    sched = cosine_per_epoch(lr, epochs, steps_per_epoch)
-    if name.upper() == "SGD":
+    """Optimizer + scheduler factory.
+
+    Covers the live path (Adam/SGD + CosineAnnealingLR,
+    `PointDA/trainer.py:258-260`) and the reference's richer dead
+    factory (`utils/optimizer.py:10-72`): AdamW (decoupled decay,
+    skipping biases/1-d params like its `add_weight_decay` groups) and a
+    StepLR schedule.
+    """
+    if scheduler == "cos":
+        sched = cosine_per_epoch(lr, epochs, steps_per_epoch)
+    elif scheduler == "step":
+        sched = step_schedule(lr, decay_epochs, decay_rate, steps_per_epoch)
+    else:
+        sched = lr
+
+    name = name.upper()
+    if name == "SGD":
         return optax.chain(
             optax.add_decayed_weights(wd),
             optax.trace(decay=momentum),
+            optax.scale_by_learning_rate(sched),
+        )
+    if name == "ADAMW":
+        def no_decay_mask(params):
+            return jax.tree_util.tree_map(lambda p: p.ndim > 1, params)
+
+        return optax.chain(
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+            optax.add_decayed_weights(wd, mask=no_decay_mask),
             optax.scale_by_learning_rate(sched),
         )
     return optax.chain(

@@ -20,6 +20,7 @@ from mlsp_tpu.transforms.deform import (
     deform_batch,
 )
 from mlsp_tpu.transforms.scan import scan_batch
+from mlsp_tpu.transforms import extra
 
 __all__ = [
     "scale_to_unit_cube",

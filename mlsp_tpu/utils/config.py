@@ -190,8 +190,27 @@ def from_dict(cls, d: dict):
     return cls(**d)
 
 
-def load_yaml(cls, path: str):
+def _load_yaml_dict(path: str) -> dict:
+    """YAML with `_base_` inheritance (parity with `utils/config.py:21-48`
+    `merge_new_config`): the child overrides the recursively-merged base."""
+    import os
+
     import yaml
 
     with open(path) as f:
-        return from_dict(cls, yaml.safe_load(f) or {})
+        cfg = yaml.safe_load(f) or {}
+    base_rel = cfg.pop("_base_", None)
+    if base_rel:
+        base = _load_yaml_dict(os.path.join(os.path.dirname(path), base_rel))
+        merged = dict(base)
+        for k, v in cfg.items():
+            if isinstance(v, dict) and isinstance(merged.get(k), dict):
+                merged[k] = {**merged[k], **v}
+            else:
+                merged[k] = v
+        return merged
+    return cfg
+
+
+def load_yaml(cls, path: str):
+    return from_dict(cls, _load_yaml_dict(path))

@@ -1,0 +1,180 @@
+"""Tests for the long-tail inventory: transformer model, extra transforms,
+meta loader, optimizer factory, YAML config, meters, profiling."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlsp_tpu.transforms import extra as X
+
+
+class TestPointTransformer:
+    def test_forward_and_defrec(self, rng):
+        from mlsp_tpu.models.transformer import PointTransformer
+
+        m = PointTransformer(num_classes=10, trans_dim=64, depth=2, heads=4,
+                             num_group=8, group_size=8, fetch_idx=(0, 1))
+        x = jnp.asarray(rng.standard_normal((2, 64, 3)), jnp.float32)
+        v = jax.jit(
+            lambda r, x: m.init({"params": r}, x, train=False, heads=("defrec",))
+        )(jax.random.key(0), x)
+        out = m.apply(v, x, train=False, heads=("defrec",))
+        assert out["cls"].shape == (2, 10)
+        assert out["defrec"].shape == (2, 64, 3)
+
+    def test_feature_propagation_exact_at_sources(self, rng):
+        from mlsp_tpu.models.transformer import feature_propagation
+
+        src = jnp.asarray(rng.standard_normal((1, 16, 3)), jnp.float32)
+        f = jnp.asarray(rng.standard_normal((1, 16, 4)), jnp.float32)
+        out = feature_propagation(src, src, f)
+        # At a source point the nearest neighbour is itself with weight ~1.
+        np.testing.assert_allclose(np.asarray(out), np.asarray(f), atol=1e-3)
+
+    def test_factory(self):
+        from mlsp_tpu.models import make_model
+        from mlsp_tpu.models.transformer import PointTransformer
+
+        assert isinstance(make_model("point_transformer", 10), PointTransformer)
+
+
+class TestExtraTransforms:
+    def test_scale_range(self, rng):
+        x = jnp.ones((2, 16, 3))
+        s = np.asarray(X.scale(jax.random.key(0), x))
+        assert (s >= 2 / 3 - 1e-6).all() and (s <= 1.5 + 1e-6).all()
+        # one scalar per cloud
+        assert np.unique(np.round(s[0], 6)).size == 1
+
+    def test_rotate_perturbation_small(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 64, 3)), jnp.float32)
+        r = np.asarray(X.rotate_perturbation(jax.random.key(1), x))
+        np.testing.assert_allclose(
+            np.linalg.norm(r, axis=-1), np.asarray(jnp.linalg.norm(x, axis=-1)),
+            atol=1e-4,
+        )
+        assert np.abs(r - np.asarray(x)).max() < 0.5  # small angles
+
+    def test_drop_hole_fraction(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 100, 3)), jnp.float32)
+        _, keep = X.drop_hole(jax.random.key(2), x, p=0.25)
+        frac = np.asarray(keep).mean(-1)
+        assert ((frac > 0.6) & (frac < 0.85)).all()
+
+    def test_viewpoint_dropout(self, rng):
+        x = jnp.asarray(rng.standard_normal((4, 256, 3)), jnp.float32)
+        _, keep = X.viewpoint_dropout(jax.random.key(3), x)
+        k = np.asarray(keep)
+        assert 0.2 < k.mean() < 0.95
+        # nearest-to-viewpoint points survive more often than farthest
+        d = np.linalg.norm(np.asarray(x) - np.array([1.0, 0, 0]), axis=-1)
+        near = k[d < np.median(d)].mean()
+        far = k[d >= np.median(d)].mean()
+        assert near > far
+
+    def test_normalize_pc(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 32, 3)) * 7 + 3, jnp.float32)
+        n = np.asarray(X.normalize_pc(x))
+        np.testing.assert_allclose(np.linalg.norm(n, axis=-1).max(-1), 1.0, atol=1e-5)
+
+
+class TestMetaLoader:
+    def test_padding_and_split(self, tmp_path, rng):
+        from mlsp_tpu.data.meta import load_padded_npy
+
+        for cls in ("a", "b"):
+            os.makedirs(tmp_path / cls)
+            for i in range(12):
+                np.save(tmp_path / cls / f"{i}.npy",
+                        rng.standard_normal((50 + i, 3)).astype(np.float32))
+        ds = load_padded_npy(str(tmp_path), num_points=64)
+        assert ds.data.shape == (24, 64, 3)
+        assert set(ds.label) == {0, 1}
+        # zero padding beyond the true size
+        assert (ds.data[0, 50:] == 0).all()
+        assert len(ds.train_ind) == 20 and len(ds.val_ind) == 4
+
+
+class TestOptimizerFactory:
+    @pytest.mark.parametrize("name,sched", [
+        ("ADAM", "cos"), ("SGD", "cos"), ("ADAMW", "step"), ("ADAM", "const"),
+    ])
+    def test_variants_step(self, name, sched, rng):
+        import optax
+        from mlsp_tpu.train.state import make_optimizer
+
+        tx = make_optimizer(name, 1e-3, 1e-4, 0.9, 10, 5, scheduler=sched)
+        params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+        st = tx.init(params)
+        g = jax.tree_util.tree_map(jnp.ones_like, params)
+        up, st = tx.update(g, st, params)
+        assert all(bool(jnp.isfinite(u).all()) for u in jax.tree_util.tree_leaves(up))
+
+    def test_cosine_endpoints(self):
+        from mlsp_tpu.train.state import cosine_per_epoch
+
+        s = cosine_per_epoch(1.0, 100, 10)
+        np.testing.assert_allclose(float(s(0)), 1.0)
+        np.testing.assert_allclose(float(s(50 * 10)), 0.5, atol=1e-6)
+        np.testing.assert_allclose(float(s(100 * 10)), 0.0, atol=1e-6)
+
+
+class TestConfigYaml:
+    def test_base_inheritance(self, tmp_path):
+        from mlsp_tpu.utils.config import PointDAConfig, load_yaml
+
+        (tmp_path / "base.yaml").write_text("epochs: 5\nlr: 0.01\n")
+        (tmp_path / "child.yaml").write_text("_base_: base.yaml\nlr: 0.1\n")
+        cfg = load_yaml(PointDAConfig, str(tmp_path / "child.yaml"))
+        assert cfg.epochs == 5 and cfg.lr == 0.1
+
+    def test_unknown_key_rejected(self, tmp_path):
+        from mlsp_tpu.utils.config import PointDAConfig, load_yaml
+
+        (tmp_path / "bad.yaml").write_text("nonsense_key: 1\n")
+        with pytest.raises(ValueError, match="nonsense_key"):
+            load_yaml(PointDAConfig, str(tmp_path / "bad.yaml"))
+
+    def test_repo_configs_load(self):
+        from mlsp_tpu.utils.config import PointDAConfig, load_yaml
+
+        cfg = load_yaml(
+            PointDAConfig,
+            os.path.join(os.path.dirname(__file__), "..", "configs",
+                         "pointda_paper.yaml"),
+        )
+        assert cfg.Density_normal_viainput and cfg.epochs == 150
+
+
+class TestMeters:
+    def test_average_meter(self):
+        from mlsp_tpu.utils.average_meter import AverageMeter
+
+        m = AverageMeter(2)
+        m.update([1.0, 2.0])
+        m.update([3.0, 4.0])
+        assert m.avg() == [2.0, 3.0]
+        assert m.val(1) == 4.0 and m.count(0) == 2
+
+    def test_scalar_meter(self):
+        from mlsp_tpu.utils.average_meter import AverageMeter
+
+        m = AverageMeter()
+        m.update(2.0)
+        m.update(4.0)
+        assert m.avg() == 3.0
+
+
+class TestProfiling:
+    def test_log_execution_time(self, capsys):
+        from mlsp_tpu.utils.profiling import log_execution_time
+
+        @log_execution_time
+        def f():
+            return 7
+
+        assert f() == 7
+        assert "[f] took" in capsys.readouterr().out
