@@ -30,4 +30,8 @@ def make_model(name: str, num_classes: int, **kw):
         from mlsp_tpu.models.transformer import PointTransformer
 
         return PointTransformer(num_classes=num_classes, **kw)
+    if name in ("hengshuang", "hengshuang_transformer"):
+        from mlsp_tpu.models.hengshuang import HengshuangTransformer
+
+        return HengshuangTransformer(num_classes=num_classes, **kw)
     raise ValueError(f"unknown model {name!r}")

@@ -12,6 +12,8 @@ The reference's `activate_density_normal_ondef` == heads=("defrec",
 
 from __future__ import annotations
 
+import typing as t
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -22,8 +24,38 @@ from mlsp_tpu.models.layers import (
     DensityHead,
     PointMLPHead,
     TransformNet,
+    act_fn,
 )
-from mlsp_tpu.ops.knn import edge_features, knn_indices
+from mlsp_tpu.ops.knn import edge_features, knn_gather, knn_indices
+
+
+class EdgeConv(nn.Module):
+    """EdgeConv + max, in decomposed form.
+
+    The reference computes `max_k act(BN(W @ concat(x_j - x_i, x_i)))`
+    over [B, N, k, 2C] (`model_utils.py:18-42` + `conv_2d`). With the
+    1x1 conv split as W = [W_d | W_c], the edge value equals
+    `u_j - u_i + v_i` for u = W_d x, v = W_c x — two matmuls over N
+    points instead of one over N*k positions (k-fold fewer MXU FLOPs and
+    a C_out-wide gather instead of 2C). BN/activation still see the full
+    edge tensor, so statistics and outputs match the reference layer
+    exactly (convs are bias-free in DGCNN).
+    """
+
+    features: int
+    activation: str = "leakyrelu"
+    dtype: t.Any = None
+
+    @nn.compact
+    def __call__(self, x, idx, train: bool):
+        u = nn.Dense(self.features, use_bias=False, dtype=self.dtype,
+                     name="w_diff")(x)
+        v = nn.Dense(self.features, use_bias=False, dtype=self.dtype,
+                     name="w_center")(x)
+        z = knn_gather(u, idx) + (v - u)[:, :, None, :]  # [B, N, k, C]
+        z = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32)(z).astype(z.dtype)
+        return jnp.max(act_fn(self.activation)(z), axis=-2)
 
 
 class DGCNN(nn.Module):
@@ -33,6 +65,7 @@ class DGCNN(nn.Module):
     density_num_cls: int = 16
     pergroup: float = 2.0
     knn_backend: str = "auto"
+    dtype: t.Any = None  # compute dtype for the dense/conv path (e.g. bf16)
 
     def _edge(self, x):
         idx = knn_indices(x, self.k, backend=self.knn_backend)
@@ -49,41 +82,47 @@ class DGCNN(nn.Module):
 
         # Input spatial transform (3x3) from edge features of raw coords.
         x0 = self._edge(x)  # [B, N, k, 6]
-        T = TransformNet(out=3, mode="dgcnn")(x0, train)
+        T = TransformNet(out=3, mode="dgcnn", dtype=self.dtype)(x0, train)
         # torch does T @ x_col; channels-last equivalent is x_row @ T^T.
         x = jnp.einsum("bnc,bdc->bnd", x, T)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
-        lrelu = "leakyrelu"
-        h = DenseBN(64, lrelu, use_bias=False)(self._edge(x), train)
-        x1 = jnp.max(h, axis=-2)
-        h = DenseBN(64, lrelu, use_bias=False)(self._edge(x1), train)
-        x2 = jnp.max(h, axis=-2)
-        h = DenseBN(128, lrelu, use_bias=False)(self._edge(x2), train)
-        x3 = jnp.max(h, axis=-2)
-        h = DenseBN(256, lrelu, use_bias=False)(self._edge(x3), train)
-        x4 = jnp.max(h, axis=-2)
+        dt = self.dtype
+
+        def knn_idx(feats):
+            return knn_indices(feats, self.k, backend=self.knn_backend)
+
+        x1 = EdgeConv(64, dtype=dt)(x, knn_idx(x), train)
+        x2 = EdgeConv(64, dtype=dt)(x1, knn_idx(x1), train)
+        x3 = EdgeConv(128, dtype=dt)(x2, knn_idx(x2), train)
+        x4 = EdgeConv(256, dtype=dt)(x3, knn_idx(x3), train)
 
         x_cat = jnp.concatenate([x1, x2, x3, x4], axis=-1)  # [B, N, 512]
-        x5 = DenseBN(1024, lrelu, use_bias=False)(x_cat, train)
+        x5 = DenseBN(1024, "leakyrelu", use_bias=False, dtype=dt)(x_cat, train)
         x5 = jnp.max(x5, axis=1)  # global feature [B, 1024]
 
-        logits = {"feat": x5}
-        logits["cls"] = Classifier(self.num_classes, self.dropout, "dgcnn")(x5, train)
+        logits = {"feat": x5.astype(jnp.float32)}
+        logits["cls"] = Classifier(self.num_classes, self.dropout, "dgcnn",
+                                   dtype=dt)(x5, train)
 
         if heads:
             pp = jnp.concatenate(
                 [x_cat, jnp.broadcast_to(x5[:, None, :], (B, N, 1024))], axis=-1
             )  # [B, N, 1536]
             if "defrec" in heads:
-                logits["defrec"] = PointMLPHead(3, self.dropout, name="DefRec")(pp, train)
+                logits["defrec"] = PointMLPHead(3, self.dropout, dtype=dt,
+                                                name="DefRec")(pp, train)
             if "normal" in heads:
-                logits["normal"] = PointMLPHead(3, self.dropout, name="NormPred")(pp, train)
+                logits["normal"] = PointMLPHead(3, self.dropout, dtype=dt,
+                                                name="NormPred")(pp, train)
             if "scan" in heads:
-                logits["scan"] = PointMLPHead(3, self.dropout, name="RecScan")(pp, train)
+                logits["scan"] = PointMLPHead(3, self.dropout, dtype=dt,
+                                              name="RecScan")(pp, train)
             if "density" in heads:
                 p_vec, dens = DensityHead(
                     self.density_num_cls, self.pergroup, self.dropout, "dgcnn",
-                    name="DensityCls",
+                    dtype=dt, name="DensityCls",
                 )(pp, train)
                 logits["density"] = p_vec
                 logits["density_mse"] = dens

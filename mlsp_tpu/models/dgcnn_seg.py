@@ -11,11 +11,43 @@ Head names: "seg", "defrec", "normal", "density".
 
 from __future__ import annotations
 
+import typing as t
+
 import jax.numpy as jnp
 from flax import linen as nn
 
 from mlsp_tpu.models.layers import DenseBN, DensityHead, PointMLPHead, act_fn
-from mlsp_tpu.ops.knn import edge_features, knn_indices
+from mlsp_tpu.ops.knn import edge_features, knn_gather, knn_indices
+
+
+class LinearEdgeBlock(nn.Module):
+    """Linear (double-)EdgeConv + max, fully decomposed.
+
+    The reference `shared_layers` applies 1-2 *linear* 1x1 convs to edge
+    features then maxes over k (`PointSegDA/Models.py:159-184` — no
+    activations/norms). For linear maps the edge value is
+    `u_j - u_i + w_i`, and max_j distributes: the block reduces to a
+    channelwise max over gathered `u` plus per-point terms. No
+    [B, N, k, C] tensor is ever built — a k-fold FLOP cut and a large
+    memory cut, bit-equivalent (up to reparametrised biases) to the
+    reference layers.
+    """
+
+    widths: tuple[int, ...]
+    dtype: t.Any = None
+
+    @nn.compact
+    def __call__(self, x, idx, train: bool):
+        u = x
+        for i, width in enumerate(self.widths):
+            u = nn.Dense(width, use_bias=False, dtype=self.dtype,
+                         name=f"w_diff{i}")(u)
+        w = x
+        for i, width in enumerate(self.widths):
+            w = nn.Dense(width, use_bias=True, dtype=self.dtype,
+                         name=f"w_center{i}")(w)
+        u_max = jnp.max(knn_gather(u, idx), axis=-2)  # [B, N, C]
+        return u_max - u + w
 
 
 class SegTransformNet(nn.Module):
@@ -62,6 +94,7 @@ class DGCNNSeg(nn.Module):
     density_num_cls: int = 16
     pergroup: float = 5.0
     knn_backend: str = "auto"
+    dtype: t.Any = None
 
     def _edge(self, x):
         idx = knn_indices(x, self.k, backend=self.knn_backend)
@@ -75,18 +108,20 @@ class DGCNNSeg(nn.Module):
         x = jnp.einsum("bnc,bdc->bnd", x, T)
 
         # shared_layers: linear double-EdgeConv blocks, no act/BN
-        # (PointSegDA/Models.py:159-191).
-        h = nn.Dense(64)(self._edge(x))
-        h = nn.Dense(64)(h)
-        x1 = jnp.max(h, axis=-2)
-        h = nn.Dense(64)(self._edge(x1))
-        h = nn.Dense(64)(h)
-        x2 = jnp.max(h, axis=-2)
-        h = nn.Dense(64)(self._edge(x2))
-        x3 = jnp.max(h, axis=-2)
+        # (PointSegDA/Models.py:159-191), in decomposed max-distributed form.
+        dt = self.dtype
+
+        def knn_idx(feats):
+            return knn_indices(feats, self.k, backend=self.knn_backend)
+
+        if dt is not None:
+            x = x.astype(dt)
+        x1 = LinearEdgeBlock((64, 64), dtype=dt)(x, knn_idx(x), train)
+        x2 = LinearEdgeBlock((64, 64), dtype=dt)(x1, knn_idx(x1), train)
+        x3 = LinearEdgeBlock((64,), dtype=dt)(x2, knn_idx(x2), train)
         x123 = jnp.concatenate([x1, x2, x3], axis=-1)  # [B, N, 192]
-        x4 = nn.Dense(1024)(x123)
-        x5 = jnp.max(x4, axis=1)  # [B, 1024]
+        x4 = nn.Dense(1024, dtype=dt)(x123)
+        x5 = jnp.max(x4, axis=1).astype(jnp.float32)  # [B, 1024]
 
         pp = jnp.concatenate(
             [x123, jnp.broadcast_to(x5[:, None, :], (B, N, 1024))], axis=-1

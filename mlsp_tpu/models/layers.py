@@ -10,6 +10,7 @@ momentum 0.1 -> flax momentum 0.9).
 
 from __future__ import annotations
 
+import typing as t
 from collections.abc import Sequence
 
 import jax
@@ -26,20 +27,27 @@ def act_fn(name: str):
 
 
 class DenseBN(nn.Module):
-    """Dense -> BatchNorm -> activation (reference `conv_2d`/`fc_layer`)."""
+    """Dense -> BatchNorm -> activation (reference `conv_2d`/`fc_layer`).
+
+    `dtype` sets the compute precision of the matmul (params stay f32);
+    BatchNorm statistics always run in f32 for stability. bf16 compute
+    doubles MXU throughput on TPU.
+    """
 
     features: int
     activation: str = "relu"
     use_bias: bool = True
     use_bn: bool = True
+    dtype: t.Any = None  # None -> input dtype
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.Dense(self.features, use_bias=self.use_bias)(x)
+        x = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype)(x)
         if self.use_bn:
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5
-            )(x)
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=jnp.float32,
+            )(x).astype(x.dtype)
         return act_fn(self.activation)(x)
 
 
@@ -55,21 +63,25 @@ class TransformNet(nn.Module):
 
     out: int
     mode: str = "dgcnn"  # or "pointnet"
+    dtype: t.Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         leaky = self.mode == "dgcnn"
         act = "leakyrelu" if leaky else "relu"
         bias = not leaky
-        x = DenseBN(64, act, use_bias=bias)(x, train)
-        x = DenseBN(128, act, use_bias=bias)(x, train)
+        dt = self.dtype
+        x = DenseBN(64, act, use_bias=bias, dtype=dt)(x, train)
+        x = DenseBN(128, act, use_bias=bias, dtype=dt)(x, train)
         if self.mode == "dgcnn":
             x = jnp.max(x, axis=-2)  # over K
-        x = DenseBN(1024, act, use_bias=bias)(x, train)
+        x = DenseBN(1024, act, use_bias=bias, dtype=dt)(x, train)
         x = jnp.max(x, axis=-2)  # over N
-        x = DenseBN(512, act, use_bias=bias)(x, train)
-        x = DenseBN(256, act, use_bias=True)(x, train)
-        x = nn.Dense(self.out * self.out)(x)
+        x = DenseBN(512, act, use_bias=bias, dtype=dt)(x, train)
+        x = DenseBN(256, act, use_bias=True, dtype=dt)(x, train)
+        x = nn.Dense(self.out * self.out, dtype=dt)(x)
+        # The transform matrix multiplies raw coordinates: keep it f32.
+        x = x.astype(jnp.float32)
         eye = jnp.eye(self.out, dtype=x.dtype).reshape(-1)
         x = x + eye
         return x.reshape(x.shape[0], self.out, self.out)
@@ -81,16 +93,18 @@ class Classifier(nn.Module):
     num_classes: int
     dropout: float = 0.5
     model: str = "dgcnn"  # controls activation/bias like the reference
+    dtype: t.Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         leaky = self.model == "dgcnn"
         act = "leakyrelu" if leaky else "relu"
-        x = DenseBN(512, act, use_bias=leaky)(x, train)
+        dt = self.dtype
+        x = DenseBN(512, act, use_bias=leaky, dtype=dt)(x, train)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = DenseBN(256, act, use_bias=True)(x, train)
+        x = DenseBN(256, act, use_bias=True, dtype=dt)(x, train)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        return nn.Dense(self.num_classes)(x)
+        return nn.Dense(self.num_classes, dtype=dt)(x).astype(jnp.float32)
 
 
 class PointMLPHead(nn.Module):
@@ -104,15 +118,18 @@ class PointMLPHead(nn.Module):
     out: int = 3
     dropout: float = 0.5
     use_bias: bool = False
+    dtype: t.Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = DenseBN(256, "relu", use_bias=self.use_bias)(x, train)
+        dt = self.dtype
+        x = DenseBN(256, "relu", use_bias=self.use_bias, dtype=dt)(x, train)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = DenseBN(256, "relu", use_bias=self.use_bias)(x, train)
+        x = DenseBN(256, "relu", use_bias=self.use_bias, dtype=dt)(x, train)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = DenseBN(128, "relu", use_bias=self.use_bias)(x, train)
-        return nn.Dense(self.out, use_bias=self.use_bias)(x)
+        x = DenseBN(128, "relu", use_bias=self.use_bias, dtype=dt)(x, train)
+        return nn.Dense(self.out, use_bias=self.use_bias, dtype=dt)(x).astype(
+            jnp.float32)
 
 
 class DensityHead(nn.Module):
@@ -129,18 +146,20 @@ class DensityHead(nn.Module):
     pergroup: float = 2.0
     dropout: float = 0.5
     model: str = "dgcnn"
+    dtype: t.Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         leaky = self.model == "dgcnn"
         act = "leakyrelu" if leaky else "relu"
-        x = DenseBN(512, "relu", use_bias=False)(x, train)
+        dt = self.dtype
+        x = DenseBN(512, "relu", use_bias=False, dtype=dt)(x, train)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = DenseBN(256, act, use_bias=leaky)(x, train)
+        x = DenseBN(256, act, use_bias=leaky, dtype=dt)(x, train)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = DenseBN(256, act, use_bias=True)(x, train)
+        x = DenseBN(256, act, use_bias=True, dtype=dt)(x, train)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        logits = nn.Dense(self.num_cls)(x)
+        logits = nn.Dense(self.num_cls, dtype=dt)(x).astype(jnp.float32)
         p_vec = jax.nn.softmax(logits, axis=-1)
         bins = self.pergroup * jnp.arange(self.num_cls, dtype=p_vec.dtype)
         density = jnp.einsum("...c,c->...", p_vec, bins)

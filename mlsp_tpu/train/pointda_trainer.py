@@ -79,10 +79,14 @@ def train_pointda(cfg: PointDAConfig, io: IOStream | None = None, mesh=None):
     steps_per_epoch = min(
         len(src_train.train_ind), len(trgt_train.train_ind)
     ) // cfg.batch_size
+    import jax.numpy as _jnp
+
+    dt = _jnp.bfloat16 if cfg.compute_dtype == "bf16" else None
     model = make_model(
         cfg.model, cfg.num_class, dropout=cfg.dropout,
         **(dict(density_num_cls=cfg.density_num_class, pergroup=cfg.pergroup,
-                knn_backend=cfg.knn_backend) if cfg.model == "dgcnn" else {}),
+                knn_backend=cfg.knn_backend, dtype=dt)
+           if cfg.model == "dgcnn" else {}),
     )
     sample = jnp.zeros((cfg.batch_size, cfg.num_points, 3), jnp.float32)
     key, init_key = jax.random.split(key)
@@ -105,15 +109,40 @@ def train_pointda(cfg: PointDAConfig, io: IOStream | None = None, mesh=None):
         trgt_iter = batches(trgt_train.data, trgt_train.label, cfg.batch_size,
                             indices=trgt_train.train_ind, shuffle=True,
                             drop_last=True, rng=rng)
-        for (sx, sy), (tx, _) in zip(src_iter, trgt_iter):
-            key, k = jax.random.split(key)
-            state, m = steps.pointda_train_step(
-                state, jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(tx), k, cfg
-            )
-            bs = sx.shape[0]
-            count += bs
-            for name, v in m.items():
-                sums[name] = sums.get(name, 0.0) + float(v) * bs
+        if cfg.scan_steps > 1:
+            # Stage chunks of the epoch and run them as single device
+            # programs (lax.scan) — amortises per-dispatch overhead.
+            pairs = list(zip(src_iter, trgt_iter))
+            full = (len(pairs) // cfg.scan_steps) * cfg.scan_steps
+            for s in range(0, full, cfg.scan_steps):
+                chunk = pairs[s : s + cfg.scan_steps]
+                sxs = jnp.asarray(np.stack([c[0][0] for c in chunk]))
+                sys_ = jnp.asarray(np.stack([c[0][1] for c in chunk]))
+                txs = jnp.asarray(np.stack([c[1][0] for c in chunk]))
+                key, k = jax.random.split(key)
+                state, ms = steps.pointda_train_scan(state, sxs, sys_, txs, k, cfg)
+                bs = cfg.batch_size
+                count += cfg.scan_steps * bs
+                for name, v in ms.items():
+                    sums[name] = sums.get(name, 0.0) + float(jnp.sum(v)) * bs
+            for (sx, sy), (tx, _) in pairs[full:]:  # tail: single steps
+                key, k = jax.random.split(key)
+                state, m = steps.pointda_train_step(
+                    state, jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(tx), k, cfg
+                )
+                count += sx.shape[0]
+                for name, v in m.items():
+                    sums[name] = sums.get(name, 0.0) + float(v) * sx.shape[0]
+        else:
+            for (sx, sy), (tx, _) in zip(src_iter, trgt_iter):
+                key, k = jax.random.split(key)
+                state, m = steps.pointda_train_step(
+                    state, jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(tx), k, cfg
+                )
+                bs = sx.shape[0]
+                count += bs
+                for name, v in m.items():
+                    sums[name] = sums.get(name, 0.0) + float(v) * bs
 
         train_losses = {k_: v / max(count, 1) for k_, v in sums.items()}
         io.print_progress("Source+Target", "Trn", epoch, train_losses)

@@ -126,9 +126,8 @@ def _ssl_recipe_losses(cfg, logits, x_orig, mask, normal_gt, dvec, dval, prefix,
     return total
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def pointda_train_step(state, src_x, src_y, trgt_x, key, cfg):
-    """Full MLSP PointDA train iteration. Returns (state, metrics)."""
+def _pointda_step_inner(state, src_x, src_y, trgt_x, key, cfg):
+    """Full MLSP PointDA train iteration (untraced body)."""
     keys = jax.random.split(key, 16)
     src_x = augment_batch(keys[0], src_x)
     trgt_x = augment_batch(keys[1], trgt_x)
@@ -262,6 +261,41 @@ def pointda_train_step(state, src_x, src_y, trgt_x, key, cfg):
     state = state.apply_gradients(grads=grads)
     state = state.replace(batch_stats=bstats)
     return state, m
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def pointda_train_step(state, src_x, src_y, trgt_x, key, cfg):
+    """Single jitted MLSP train iteration. Returns (state, metrics)."""
+    return _pointda_step_inner(state, src_x, src_y, trgt_x, key, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def pointda_train_scan(state, src_xs, src_ys, trgt_xs, key, cfg):
+    """Many MLSP train iterations in ONE device program via `lax.scan`.
+
+    Host dispatch costs a fixed ~ms per call through a remote-TPU
+    tunnel, which floors per-step wall time no matter how light the
+    step is; scanning S steps per call amortises it away. This is also
+    the production shape on TPU pods: stage an epoch of batches to HBM
+    once, run the epoch as one program.
+
+    Args:
+      src_xs: [S, B, N, 3]; src_ys: [S, B]; trgt_xs: [S, B, N, 3].
+      key: base PRNG key (folded per step).
+
+    Returns:
+      (state, metrics) — metrics stacked over S.
+    """
+
+    def body(carry, batch):
+        state, key = carry
+        key, k = jax.random.split(key)
+        sx, sy, tx = batch
+        state, m = _pointda_step_inner(state, sx, sy, tx, k, cfg)
+        return (state, key), m
+
+    (state, _), ms = jax.lax.scan(body, (state, key), (src_xs, src_ys, trgt_xs))
+    return state, ms
 
 
 @partial(jax.jit, static_argnames=("state_apply_fn",))

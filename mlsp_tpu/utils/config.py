@@ -75,6 +75,8 @@ class PointDAConfig:
 
     # runtime
     knn_backend: str = "auto"
+    compute_dtype: str = "bf16"  # matmul precision: bf16 doubles MXU rate
+    scan_steps: int = 16  # train steps fused per device dispatch (1 = off)
     synthetic: bool = False  # use in-memory synthetic data (tests/bench)
 
     def resolved(self) -> "PointDAConfig":
@@ -129,6 +131,7 @@ class SPSTConfig:
     density_num_class: int = 16
     pergroup: float = 2.0
     knn_backend: str = "auto"
+    compute_dtype: str = "bf16"
     synthetic: bool = False
 
 
@@ -175,6 +178,7 @@ class PointSegDAConfig:
     shift: int = 10
     density_radius: float = 0.081
     knn_backend: str = "auto"
+    compute_dtype: str = "bf16"
     synthetic: bool = False
 
     def resolved(self) -> "PointSegDAConfig":

@@ -178,3 +178,21 @@ class TestProfiling:
 
         assert f() == 7
         assert "[f] took" in capsys.readouterr().out
+
+
+class TestHengshuang:
+    def test_forward_defrec_and_factory(self, rng):
+        from mlsp_tpu.models import make_model
+        from mlsp_tpu.models.hengshuang import HengshuangTransformer
+
+        m = make_model("hengshuang", 10, nblocks=2, nneighbor=8,
+                       d_model=32, base_dim=16)
+        assert isinstance(m, HengshuangTransformer)
+        x = jnp.asarray(rng.standard_normal((2, 128, 3)), jnp.float32)
+        v = jax.jit(
+            lambda r, xx: m.init({"params": r}, xx, train=False, heads=("defrec",))
+        )(jax.random.key(0), x)
+        out = m.apply(v, x, train=False, heads=("defrec",))
+        assert out["cls"].shape == (2, 10)
+        assert out["defrec"].shape == (2, 128, 3)
+        assert bool(jnp.isfinite(out["cls"]).all())
