@@ -58,6 +58,68 @@ class EdgeConv(nn.Module):
         return jnp.max(act_fn(self.activation)(z), axis=-2)
 
 
+class EdgeConvM(nn.Module):
+    """EdgeConv + BN + LeakyReLU + max via neighbourhood moments.
+
+    Mathematically identical to :class:`EdgeConv`, but never applies BN
+    to the [B, N, k, C] edge tensor. With z_ij = u_j + c_i (c = v - u):
+
+      E[z]    = E[mean_k u_j] + E[c]
+      E[z^2]  = E[mean_k u_j^2 + 2 c mean_k u_j + c^2]
+      max_j act(BN(z)) = act(s * ((s>=0 ? max_j u_j : min_j u_j) + c - mu)
+                              + beta),   s = gamma / sqrt(var + eps)
+
+    (affine BN + monotone LeakyReLU commute with the j-max; negative
+    gamma flips max to min). One gather feeds four fused reductions, so
+    neighbour bytes move once instead of twice, and eval mode skips the
+    moment gathers entirely.
+    """
+
+    features: int
+    dtype: t.Any = None
+    momentum: float = 0.9
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, idx, train: bool):
+        u = nn.Dense(self.features, use_bias=False, dtype=self.dtype,
+                     name="w_diff")(x)
+        v = nn.Dense(self.features, use_bias=False, dtype=self.dtype,
+                     name="w_center")(x)
+        c = v - u
+
+        gamma = self.param("scale", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.features,), jnp.float32))
+
+        g = knn_gather(u, idx)  # [B, N, k, C] — single neighbour pass
+        mx = jnp.max(g, axis=-2)
+        if train:
+            gf = g.astype(jnp.float32)
+            s1 = jnp.mean(gf, axis=-2)
+            s2 = jnp.mean(gf * gf, axis=-2)
+            cf = c.astype(jnp.float32)
+            mu = jnp.mean(s1 + cf, axis=(0, 1))
+            ez2 = jnp.mean(s2 + 2.0 * cf * s1 + cf * cf, axis=(0, 1))
+            var = jnp.maximum(ez2 - mu * mu, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mu
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mu, var = ra_mean.value, ra_var.value
+
+        mn = jnp.min(g, axis=-2)
+        s = gamma * jax.lax.rsqrt(var + self.eps)
+        sel = jnp.where(s >= 0, mx.astype(jnp.float32), mn.astype(jnp.float32))
+        y = s * (sel + c.astype(jnp.float32) - mu) + beta
+        return act_fn("leakyrelu")(y).astype(u.dtype)
+
+
 class DGCNN(nn.Module):
     num_classes: int = 10
     k: int = 20
@@ -66,6 +128,7 @@ class DGCNN(nn.Module):
     pergroup: float = 2.0
     knn_backend: str = "auto"
     dtype: t.Any = None  # compute dtype for the dense/conv path (e.g. bf16)
+    edge_impl: str = "moments"  # "moments" (1 neighbour pass) | "direct"
 
     def _edge(self, x):
         idx = knn_indices(x, self.k, backend=self.knn_backend)
@@ -93,10 +156,11 @@ class DGCNN(nn.Module):
         def knn_idx(feats):
             return knn_indices(feats, self.k, backend=self.knn_backend)
 
-        x1 = EdgeConv(64, dtype=dt)(x, knn_idx(x), train)
-        x2 = EdgeConv(64, dtype=dt)(x1, knn_idx(x1), train)
-        x3 = EdgeConv(128, dtype=dt)(x2, knn_idx(x2), train)
-        x4 = EdgeConv(256, dtype=dt)(x3, knn_idx(x3), train)
+        EC = EdgeConvM if self.edge_impl == "moments" else EdgeConv
+        x1 = EC(64, dtype=dt)(x, knn_idx(x), train)
+        x2 = EC(64, dtype=dt)(x1, knn_idx(x1), train)
+        x3 = EC(128, dtype=dt)(x2, knn_idx(x2), train)
+        x4 = EC(256, dtype=dt)(x3, knn_idx(x3), train)
 
         x_cat = jnp.concatenate([x1, x2, x3, x4], axis=-1)  # [B, N, 512]
         x5 = DenseBN(1024, "leakyrelu", use_bias=False, dtype=dt)(x_cat, train)
