@@ -71,6 +71,15 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     enable_cache()
 
+    # Multi-host: same jit programs over DCN once the distributed runtime
+    # is up (the reference has no multi-node path at all, SURVEY §2.2).
+    import os
+
+    if os.environ.get("MLSP_MULTIHOST"):
+        import jax
+
+        jax.distributed.initialize()
+
     if args.command == "trainer":
         from mlsp_tpu.train.pointda_trainer import train_pointda
 

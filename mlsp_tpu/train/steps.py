@@ -128,7 +128,7 @@ def _ssl_recipe_losses(cfg, logits, x_orig, mask, normal_gt, dvec, dval, prefix,
 
 def _pointda_step_inner(state, src_x, src_y, trgt_x, key, cfg):
     """Full MLSP PointDA train iteration (untraced body)."""
-    keys = jax.random.split(key, 16)
+    keys = jax.random.split(key, 17)
     src_x = augment_batch(keys[0], src_x)
     trgt_x = augment_batch(keys[1], trgt_x)
 
@@ -253,6 +253,30 @@ def _pointda_step_inner(state, src_x, src_y, trgt_x, key, cfg):
                 m["trgt_def_density_cls"] = kl
                 m["trgt_def_density_mse"] = mae
                 total = total + kl + mae
+
+        if cfg.apply_SPL or cfg.apply_SPL_v2:
+            # Inline self-paced pseudo-labels (the reference defines the
+            # generators at `PointDA/trainer.py:265-293` — confidence- or
+            # entropy-gated one-hots from the model's own predictions;
+            # SPST is the full offline variant). Confidence computed
+            # without gradient; CE applied to confident samples only.
+            logits, bstats = _apply(state, params, bstats, trgt_x, (), keys[16])
+            cls = logits["cls"]
+            conf = jax.lax.stop_gradient(jax.nn.softmax(cls, axis=-1))
+            pseudo = jnp.argmax(conf, axis=-1)
+            if cfg.apply_SPL_v2:
+                # entropy of softmax(conf) — the reference's double
+                # softmax quirk (trainer.py:285).
+                ent = -jnp.sum(conf * jax.nn.log_softmax(conf, -1), axis=-1)
+                keep = (ent < cfg.gamma_v2).astype(jnp.float32)
+            else:
+                keep = (jnp.max(conf, axis=-1) > cfg.gamma).astype(jnp.float32)
+            logp = jax.nn.log_softmax(cls, axis=-1)
+            nll = -jnp.take_along_axis(logp, pseudo[..., None], -1)[..., 0]
+            l = jnp.sum(nll * keep) / jnp.maximum(jnp.sum(keep), 1.0)
+            m["trgt_SPL"] = l
+            m["trgt_SPL_selected"] = jnp.mean(keep)
+            total = total + l
 
         m["total"] = total
         return total, (m, bstats)

@@ -162,3 +162,29 @@ class TestTrainerLoop:
         assert results["test"]["acc"] >= 0.0
         assert (tmp_path / "t" / "model.ckpt").exists()
         assert (tmp_path / "t" / "run.log").exists()
+
+
+class TestSPL:
+    def test_inline_pseudo_labels(self, data):
+        sx, sy, tx = data
+        from mlsp_tpu.models import DGCNN
+
+        model = DGCNN(num_classes=10, k=8)
+        for kw, name in (
+            (dict(apply_SPL_v2=True, gamma_v2=100.0), "entropy-all"),
+            (dict(apply_SPL=True, gamma=0.0), "conf-all"),
+            (dict(apply_SPL_v2=True, gamma_v2=0.0), "entropy-none"),
+        ):
+            cfg = tiny_cfg(model="dgcnn", **kw)
+            state = make_state(model, ())
+            state, m = steps.pointda_train_step(
+                state, jnp.asarray(sx[:B]), jnp.asarray(sy[:B]),
+                jnp.asarray(tx[:B]), jax.random.key(4), cfg,
+            )
+            assert np.isfinite(float(m["total"])), name
+            assert "trgt_SPL" in m
+            sel = float(m["trgt_SPL_selected"])
+            if name.endswith("-all"):
+                assert sel == 1.0
+            else:
+                assert sel == 0.0 and float(m["trgt_SPL"]) == 0.0
