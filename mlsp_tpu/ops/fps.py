@@ -24,8 +24,10 @@ import jax.numpy as jnp
 from jax import lax
 
 
-@functools.partial(jax.jit, static_argnames=("npoint",))
-def fps(xyz: jax.Array, npoint: int, start_idx: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("npoint", "backend"))
+def fps(
+    xyz: jax.Array, npoint: int, start_idx: jax.Array, backend: str = "auto"
+) -> jax.Array:
     """Greedy farthest-point sampling.
 
     Args:
@@ -33,10 +35,17 @@ def fps(xyz: jax.Array, npoint: int, start_idx: jax.Array) -> jax.Array:
       npoint: number of samples (static).
       start_idx: int [B] index of the first centroid per cloud (the
         reference draws it uniformly; pass `jax.random.randint` output).
+      backend: "auto" (Pallas kernel on TPU), "pallas", or "xla".
 
     Returns:
       int32 [B, npoint] sampled indices (first column == start_idx).
     """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from mlsp_tpu.ops.pallas.fps_pallas import fps_pallas
+
+        return fps_pallas(xyz, npoint, start_idx)
     B, N, _ = xyz.shape
 
     def body(i, carry):

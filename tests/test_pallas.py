@@ -1,6 +1,7 @@
 """Pallas kernel tests (interpret mode on the CPU test mesh; real-TPU
 correctness/perf are exercised by bench.py and the verify recipe)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -32,3 +33,33 @@ class TestKnnPallas:
         x = jnp.asarray(rng.standard_normal((1, 96, 3)), jnp.float32)
         idx = np.asarray(knn_pallas(x, 4, tile=64, interpret=True))
         assert idx.shape == (1, 96, 4)
+
+
+class TestFpsPallas:
+    def test_matches_xla(self, rng):
+        import functools
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        from mlsp_tpu.ops.pallas import fps_pallas as FP
+        from mlsp_tpu.ops.fps import fps
+
+        def fps_interp(xyz, npoint, start):
+            B, N, _ = xyz.shape
+            order = pl.pallas_call(
+                functools.partial(FP._fps_kernel, npoint=npoint),
+                out_shape=jax.ShapeDtypeStruct((B, N), jnp.int32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                          pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                scratch_shapes=[pltpu.VMEM((B, N), jnp.float32)],
+                interpret=True,
+            )(start.astype(jnp.int32)[:, None],
+              jnp.swapaxes(xyz.astype(jnp.float32), 1, 2))
+            return jnp.argsort(order, axis=-1, stable=True)[:, :npoint]
+
+        import jax
+        x = jnp.asarray(rng.standard_normal((4, 128, 3)), jnp.float32)
+        start = jnp.asarray(rng.integers(0, 128, 4), jnp.int32)
+        a = np.asarray(fps(x, 32, start, backend="xla"))
+        b = np.asarray(fps_interp(x, 32, start))
+        np.testing.assert_array_equal(a, b)
