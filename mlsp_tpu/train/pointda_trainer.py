@@ -39,18 +39,28 @@ def _pad_batch(x, y, size):
 
 
 def evaluate(state, data, label, batch_size, num_classes, indices=None):
-    """Eval loop: accuracy, balanced accuracy, mean CE loss, confusion."""
-    preds, trues, losses, counts = [], [], [], []
+    """Eval loop: accuracy, balanced accuracy, mean CE loss, confusion.
+
+    All batches (trailing one repetition-padded) are stacked and run as
+    one scanned device program.
+    """
+    stack_x, stack_y, counts = [], [], []
     for bx, by in batches(data, label, batch_size, indices=indices):
         bx, by, n = _pad_batch(bx, by, batch_size)
-        logits = steps.eval_step(state, jnp.asarray(bx))
-        logits = np.asarray(logits)[:n]
+        stack_x.append(bx)
+        stack_y.append(by)
+        counts.append(n)
+    all_logits = np.asarray(
+        steps.eval_scan(state, jnp.asarray(np.stack(stack_x)))
+    )  # [S, B, C]
+    preds, trues, losses = [], [], []
+    for logits, by, n in zip(all_logits, stack_y, counts):
+        logits = logits[:n]
         p = logits.argmax(-1)
         logp = logits - np.log(np.exp(logits - logits.max(-1, keepdims=True)).sum(-1, keepdims=True)) - logits.max(-1, keepdims=True)
         losses.append(-logp[np.arange(n), by[:n]].sum())
         preds.append(p)
         trues.append(by[:n])
-        counts.append(n)
     preds, trues = np.concatenate(preds), np.concatenate(trues)
     total = float(np.sum(counts))
     return {
@@ -100,7 +110,20 @@ def train_pointda(cfg: PointDAConfig, io: IOStream | None = None, mesh=None):
     best = {"src_val_acc": 0.0, "epoch": -1, "state": state}
     ckpt_path = os.path.join(io.path, "model.ckpt")
 
-    for epoch in range(cfg.epochs):
+    start_epoch = 0
+    if cfg.resume:
+        state, saved_epoch, saved_metrics = checkpoint.load_train_state(
+            cfg.resume, state
+        )
+        start_epoch = saved_epoch + 1
+        best["src_val_acc"] = float((saved_metrics or {}).get("src_val_acc", 0.0))
+        best["state"] = state
+        io.cprint(
+            f"resumed from {cfg.resume} at epoch {saved_epoch} "
+            f"(best src val acc {best['src_val_acc']:.4f})"
+        )
+
+    for epoch in range(start_epoch, cfg.epochs):
         sums: dict[str, float] = {}
         count = 0
         src_iter = batches(src_train.data, src_train.label, cfg.batch_size,

@@ -331,3 +331,19 @@ def _eval_forward(state_apply_fn, params, bstats, x):
 def eval_step(state, x):
     """Eval forward (BN running stats, no dropout) -> class logits."""
     return _eval_forward(state.apply_fn, state.params, state.batch_stats, x)
+
+
+@partial(jax.jit, static_argnames=("apply_fn",))
+def _eval_forward_scan(apply_fn, params, bstats, xs):
+    def body(_, x):
+        out = apply_fn({"params": params, "batch_stats": bstats}, x, train=False)
+        return (), out["cls"]
+
+    _, logits = jax.lax.scan(body, (), xs)
+    return logits
+
+
+def eval_scan(state, xs):
+    """Scanned eval: xs [S, B, N, 3] -> logits [S, B, C] in ONE device
+    program (amortises per-dispatch overhead like the train scan)."""
+    return _eval_forward_scan(state.apply_fn, state.params, state.batch_stats, xs)

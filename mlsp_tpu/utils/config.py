@@ -77,6 +77,7 @@ class PointDAConfig:
     knn_backend: str = "auto"
     compute_dtype: str = "bf16"  # matmul precision: bf16 doubles MXU rate
     scan_steps: int = 16  # train steps fused per device dispatch (1 = off)
+    resume: str = ""  # checkpoint path to resume from (params+opt+epoch)
     synthetic: bool = False  # use in-memory synthetic data (tests/bench)
 
     def resolved(self) -> "PointDAConfig":
