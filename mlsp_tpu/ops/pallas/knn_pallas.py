@@ -48,7 +48,7 @@ def _knn_kernel(xq_ref, xdb_ref, out_ref, *, k: int, n: int):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def knn_pallas(x: jax.Array, k: int, tile: int = 256, interpret: bool = False) -> jax.Array:
+def knn_pallas(x: jax.Array, k: int, tile: int = 128, interpret: bool = False) -> jax.Array:
     """kNN indices via the fused kernel.
 
     Args:

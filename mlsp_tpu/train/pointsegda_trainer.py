@@ -93,7 +93,27 @@ def train_pointsegda(cfg: PointSegDAConfig, io: IOStream | None = None):
                            shuffle=True, drop_last=True, rng=rng)
         trgt_iter = batches(trgt_train.data, trgt_train.label, bsz,
                             shuffle=True, drop_last=True, rng=rng)
-        for (sx, sy), (tx, _) in zip(src_iter, trgt_iter):
+        pairs = list(zip(src_iter, trgt_iter))
+        S = max(cfg.scan_steps, 1)
+        full = (len(pairs) // S) * S if S > 1 else 0
+        for s in range(0, full, S):
+            chunk = pairs[s : s + S]
+            sxs = jnp.asarray(np.stack([c[0][0] for c in chunk]))
+            sys_ = jnp.asarray(np.stack([c[0][1] for c in chunk]))
+            txs = jnp.asarray(np.stack([c[1][0] for c in chunk]))
+            key, k = jax.random.split(key)
+            state, ms, (preds, mixed_y) = seg_steps.pointsegda_train_scan(
+                state, sxs, sys_, txs, k, cfg
+            )
+            count += S * bsz
+            for name, v in ms.items():
+                sums[name] = sums.get(name, 0.0) + float(jnp.sum(v)) * bsz
+            bm, _ = metrics.seg_metrics(
+                np.asarray(mixed_y).reshape(-1, mixed_y.shape[-1]),
+                np.asarray(preds).reshape(-1, preds.shape[-1]),
+            )
+            src_miou_sum += bm
+        for (sx, sy), (tx, _) in pairs[full:]:
             key, k = jax.random.split(key)
             state, m, (preds, mixed_y) = seg_steps.pointsegda_train_step(
                 state, jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(tx), k, cfg

@@ -28,8 +28,7 @@ def seg_cross_entropy(logits, labels):
     return jnp.mean(nll)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def pointsegda_train_step(state, src_x, src_y, trgt_x, key, cfg):
+def _seg_step_inner(state, src_x, src_y, trgt_x, key, cfg):
     keys = jax.random.split(key, 12)
     src_x = augment_batch(keys[0], src_x)
     trgt_x = augment_batch(keys[1], trgt_x)
@@ -123,6 +122,28 @@ def pointsegda_train_step(state, src_x, src_y, trgt_x, key, cfg):
     grads, (m, bstats, train_preds) = jax.grad(loss_fn, has_aux=True)(state.params)
     state = state.apply_gradients(grads=grads).replace(batch_stats=bstats)
     return state, m, train_preds
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def pointsegda_train_step(state, src_x, src_y, trgt_x, key, cfg):
+    return _seg_step_inner(state, src_x, src_y, trgt_x, key, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def pointsegda_train_scan(state, src_xs, src_ys, trgt_xs, key, cfg):
+    """S seg train steps as one device program (cf. pointda_train_scan)."""
+
+    def body(carry, batch):
+        state, key = carry
+        key, k = jax.random.split(key)
+        sx, sy, tx = batch
+        state, m, preds = _seg_step_inner(state, sx, sy, tx, k, cfg)
+        return (state, key), (m, preds)
+
+    (state, _), (ms, preds) = jax.lax.scan(
+        body, (state, key), (src_xs, src_ys, trgt_xs)
+    )
+    return state, ms, preds
 
 
 @partial(jax.jit, static_argnames=("apply_fn",))

@@ -180,6 +180,7 @@ class PointSegDAConfig:
     density_radius: float = 0.081
     knn_backend: str = "auto"
     compute_dtype: str = "bf16"
+    scan_steps: int = 8  # train steps fused per device dispatch (1 = off)
     synthetic: bool = False
 
     def resolved(self) -> "PointSegDAConfig":
