@@ -47,7 +47,8 @@ def main() -> None:
         Density_normal_viainput=True, Normal_ondef=True, Density_ondef=True,
         radius=0.135,
     )
-    model = DGCNN(num_classes=10, k=20, knn_backend="auto", dtype=jnp.bfloat16)
+    model = DGCNN(num_classes=10, k=20, knn_backend="auto")  # f32: bf16 is
+    # ~13% faster on this chip but demonstrably degrades convergence
     sample = jnp.zeros((B, N, 3), jnp.float32)
     state = create_train_state(
         model, jax.random.key(0), sample, epochs=150, steps_per_epoch=100,

@@ -61,6 +61,9 @@ def main(argv=None) -> int:
     _add_config_args(p_train, PointDAConfig)
     p_train.add_argument("--paper_recipe", type=_str2bool, default=False,
                          help="apply the train.sh headline flag set")
+    p_train.add_argument("--config", type=str, default="",
+                         help="YAML config (supports _base_ inheritance); "
+                              "explicit flags are not merged on top")
 
     p_spst = sub.add_parser("spst", help="SPST pseudo-label self-training")
     _add_config_args(p_spst, SPSTConfig)
@@ -83,7 +86,12 @@ def main(argv=None) -> int:
     if args.command == "trainer":
         from mlsp_tpu.train.pointda_trainer import train_pointda
 
-        cfg = _to_config(PointDAConfig, args)
+        if getattr(args, "config", ""):
+            from mlsp_tpu.utils.config import load_yaml
+
+            cfg = load_yaml(PointDAConfig, args.config)
+        else:
+            cfg = _to_config(PointDAConfig, args)
         if args.paper_recipe:
             cfg = cfg.paper_recipe
         train_pointda(cfg)

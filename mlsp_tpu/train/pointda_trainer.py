@@ -201,5 +201,10 @@ def train_pointda(cfg: PointDAConfig, io: IOStream | None = None, mesh=None):
         f"target test loss: {final['loss']:.4f}"
     )
     io.cprint("Test confusion matrix:\n" + str(final["conf_mat"]))
+    from mlsp_tpu.data import idx_to_label
+
+    io.save_conf_mat(final["conf_mat"], "test_conf_mat.csv", "Target",
+                     class_names=[idx_to_label.get(i, str(i))
+                                  for i in range(cfg.num_class)])
     return best["state"], {"best": {k_: v for k_, v in best.items() if k_ != "state"},
                            "test": final}

@@ -196,3 +196,18 @@ class TestHengshuang:
         assert out["cls"].shape == (2, 10)
         assert out["defrec"].shape == (2, 128, 3)
         assert bool(jnp.isfinite(out["cls"]).all())
+
+
+class TestCLIConfig:
+    def test_yaml_config_run(self, tmp_path):
+        from mlsp_tpu.cli import main
+
+        (tmp_path / "exp.yaml").write_text(
+            "synthetic: true\nepochs: 1\nbatch_size: 8\nnum_points: 64\n"
+            f"model: pointnet\napply_PCM: false\ntest_batch_size: 8\n"
+            f"out_path: {tmp_path}\nexp_name: ycfg\n"
+        )
+        rc = main(["trainer", "--config", str(tmp_path / "exp.yaml")])
+        assert rc == 0
+        assert (tmp_path / "ycfg" / "run.log").exists()
+        assert (tmp_path / "ycfg" / "Target_test_conf_mat.csv").exists()
