@@ -12,6 +12,7 @@ The reference's `activate_density_normal_ondef` == heads=("defrec",
 
 from __future__ import annotations
 
+import functools
 import typing as t
 
 import jax
@@ -77,6 +78,8 @@ class EdgeConvM(nn.Module):
 
     features: int
     dtype: t.Any = None
+    gather_dtype: t.Any = None  # round only the gathered neighbour bytes
+    # (graph + weights stay f32) — halves the dominant gather traffic
     momentum: float = 0.9
     eps: float = 1e-5
 
@@ -86,6 +89,9 @@ class EdgeConvM(nn.Module):
                      name="w_diff")(x)
         v = nn.Dense(self.features, use_bias=False, dtype=self.dtype,
                      name="w_center")(x)
+        if self.gather_dtype is not None:
+            u = u.astype(self.gather_dtype)
+            v = v.astype(self.gather_dtype)
         c = v - u
 
         gamma = self.param("scale", nn.initializers.ones, (self.features,),
@@ -117,7 +123,10 @@ class EdgeConvM(nn.Module):
         s = gamma * jax.lax.rsqrt(var + self.eps)
         sel = jnp.where(s >= 0, mx.astype(jnp.float32), mn.astype(jnp.float32))
         y = s * (sel + c.astype(jnp.float32) - mu) + beta
-        return act_fn("leakyrelu")(y).astype(u.dtype)
+        # Output keeps the layer compute dtype — NOT gather_dtype, so the
+        # next stage's kNN graph is built from unrounded features.
+        out_dtype = x.dtype if self.dtype is None else self.dtype
+        return act_fn("leakyrelu")(y).astype(out_dtype)
 
 
 class DGCNN(nn.Module):
@@ -128,6 +137,10 @@ class DGCNN(nn.Module):
     pergroup: float = 2.0
     knn_backend: str = "auto"
     dtype: t.Any = None  # compute dtype for the dense/conv path (e.g. bf16)
+    head_dtype: t.Any = None  # separate dtype for the per-point heads: they
+    # carry most of the FLOPs and no kNN-graph dependency, so bf16 here is
+    # safe when full-bf16 hurts convergence
+    gather_dtype: t.Any = None  # EdgeConv neighbour-gather dtype (see EdgeConvM)
     edge_impl: str = "moments"  # "moments" (1 neighbour pass) | "direct"
 
     def _edge(self, x):
@@ -156,7 +169,10 @@ class DGCNN(nn.Module):
         def knn_idx(feats):
             return knn_indices(feats, self.k, backend=self.knn_backend)
 
-        EC = EdgeConvM if self.edge_impl == "moments" else EdgeConv
+        if self.edge_impl == "moments":
+            EC = functools.partial(EdgeConvM, gather_dtype=self.gather_dtype)
+        else:
+            EC = EdgeConv
         x1 = EC(64, dtype=dt)(x, knn_idx(x), train)
         x2 = EC(64, dtype=dt)(x1, knn_idx(x1), train)
         x3 = EC(128, dtype=dt)(x2, knn_idx(x2), train)
@@ -171,22 +187,25 @@ class DGCNN(nn.Module):
                                    dtype=dt)(x5, train)
 
         if heads:
+            hdt = self.head_dtype if self.head_dtype is not None else dt
             pp = jnp.concatenate(
                 [x_cat, jnp.broadcast_to(x5[:, None, :], (B, N, 1024))], axis=-1
             )  # [B, N, 1536]
+            if hdt is not None:
+                pp = pp.astype(hdt)
             if "defrec" in heads:
-                logits["defrec"] = PointMLPHead(3, self.dropout, dtype=dt,
+                logits["defrec"] = PointMLPHead(3, self.dropout, dtype=hdt,
                                                 name="DefRec")(pp, train)
             if "normal" in heads:
-                logits["normal"] = PointMLPHead(3, self.dropout, dtype=dt,
+                logits["normal"] = PointMLPHead(3, self.dropout, dtype=hdt,
                                                 name="NormPred")(pp, train)
             if "scan" in heads:
-                logits["scan"] = PointMLPHead(3, self.dropout, dtype=dt,
+                logits["scan"] = PointMLPHead(3, self.dropout, dtype=hdt,
                                               name="RecScan")(pp, train)
             if "density" in heads:
                 p_vec, dens = DensityHead(
                     self.density_num_cls, self.pergroup, self.dropout, "dgcnn",
-                    dtype=dt, name="DensityCls",
+                    dtype=hdt, name="DensityCls",
                 )(pp, train)
                 logits["density"] = p_vec
                 logits["density_mse"] = dens
