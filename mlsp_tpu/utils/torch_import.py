@@ -63,10 +63,8 @@ def import_dgcnn(sd: dict, variables: dict, pergroup: float = 2.0) -> dict:
 
     params = jax.tree_util.tree_map(np.asarray, variables["params"])
     bstats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
-    params = jax.device_get(params)
-    bstats = jax.device_get(bstats)
 
-    def set_dense(dst_p, _unused, kernel, bias=None):
+    def set_dense(dst_p, kernel, bias=None):
         node = params
         for k in dst_p[:-1]:
             node = node[k]
@@ -91,12 +89,11 @@ def import_dgcnn(sd: dict, variables: dict, pergroup: float = 2.0) -> dict:
         snode["mean"] = _np(sd[f"{src_prefix}.running_mean"])
         snode["var"] = _np(sd[f"{src_prefix}.running_var"])
 
-    def densebn(dst, src_conv, src_bn, linear=False, bias_key=None):
+    def densebn(dst, src_conv, src_bn, linear=False):
         """Map conv/linear + BN into a DenseBN block."""
         w = _linear_kernel(sd[src_conv + ".weight"]) if linear else _conv_kernel(
             sd[src_conv + ".weight"])
-        b = sd.get(src_conv + ".bias") if bias_key is None else sd.get(bias_key)
-        set_dense(dst + ["Dense_0"], None, w, b)
+        set_dense(dst + ["Dense_0"], w, sd.get(src_conv + ".bias"))
         set_bn(dst + ["BatchNorm_0"], dst + ["BatchNorm_0"], src_bn)
 
     # ---- input transform net (transform_net(args, 6, 3)) ----
@@ -111,7 +108,7 @@ def import_dgcnn(sd: dict, variables: dict, pergroup: float = 2.0) -> dict:
             "input_transform_net.fc1.fc.1", linear=True)
     densebn(tn + ["DenseBN_4"], "input_transform_net.fc2.fc.0",
             "input_transform_net.fc2.fc.1", linear=True)
-    set_dense(tn + ["Dense_0"], None,
+    set_dense(tn + ["Dense_0"],
               _linear_kernel(sd["input_transform_net.fc3.weight"]),
               sd["input_transform_net.fc3.bias"])
 
@@ -122,8 +119,8 @@ def import_dgcnn(sd: dict, variables: dict, pergroup: float = 2.0) -> dict:
         w = _np(sd[f"{src}.conv.0.weight"])  # [out, 2*cin, 1, 1]
         w = w.reshape(w.shape[0], w.shape[1])
         blk = _edge_block_name(params, i)
-        set_dense([blk, "w_diff"], None, w[:, :cin].T)
-        set_dense([blk, "w_center"], None, w[:, cin:].T)
+        set_dense([blk, "w_diff"], w[:, :cin].T)
+        set_dense([blk, "w_center"], w[:, cin:].T)
         if "BatchNorm_0" in params[blk]:  # direct EdgeConv
             set_bn([blk, "BatchNorm_0"], [blk, "BatchNorm_0"], f"{src}.conv.1")
         else:  # EdgeConvM: scale/bias at block level
@@ -139,7 +136,7 @@ def import_dgcnn(sd: dict, variables: dict, pergroup: float = 2.0) -> dict:
     c = ["Classifier_0"]
     densebn(c + ["DenseBN_0"], "C.mlp1.fc.0", "C.mlp1.fc.1", linear=True)
     densebn(c + ["DenseBN_1"], "C.mlp2.fc.0", "C.mlp2.fc.1", linear=True)
-    set_dense(c + ["Dense_0"], None, _linear_kernel(sd["C.mlp3.weight"]),
+    set_dense(c + ["Dense_0"], _linear_kernel(sd["C.mlp3.weight"]),
               sd["C.mlp3.bias"])
 
     # ---- per-point heads ----
@@ -147,7 +144,7 @@ def import_dgcnn(sd: dict, variables: dict, pergroup: float = 2.0) -> dict:
                      ("RecScan", "Rec_scan")):
         for j in range(3):
             densebn([dst, f"DenseBN_{j}"], f"{src}.conv{j+1}", f"{src}.bn{j+1}")
-        set_dense([dst, "Dense_0"], None, _conv_kernel(sd[f"{src}.conv4.weight"]))
+        set_dense([dst, "Dense_0"], _conv_kernel(sd[f"{src}.conv4.weight"]))
 
     # ---- density head ----
     d = ["DensityCls"]
@@ -156,14 +153,22 @@ def import_dgcnn(sd: dict, variables: dict, pergroup: float = 2.0) -> dict:
             linear=True)
     densebn(d + ["DenseBN_2"], "Density_cls.mlp2.fc.0", "Density_cls.mlp2.fc.1",
             linear=True)
-    set_dense(d + ["Dense_0"], None, _linear_kernel(sd["Density_cls.mlp3.weight"]),
+    set_dense(d + ["Dense_0"], _linear_kernel(sd["Density_cls.mlp3.weight"]),
               sd["Density_cls.mlp3.bias"])
-    # frozen expectation layer: validate against the analytic bins
+    # Frozen expectation layer: our DensityHead computes the expectation
+    # analytically with bins model.pergroup * i, so the checkpoint's bin
+    # width MUST match the pergroup the flax model was built with.
     if "Density_cls.fc2.weight" in sd:
         w = _np(sd["Density_cls.fc2.weight"]).reshape(-1)
-        want = pergroup * np.arange(len(w))
+        ckpt_pergroup = float(w[1] - w[0]) if len(w) > 1 else pergroup
+        want = ckpt_pergroup * np.arange(len(w))
         if not np.allclose(w, want, atol=1e-4):
-            raise ValueError("Density fc2 weights differ from pergroup*i bins")
+            raise ValueError("Density fc2 weights are not linear pergroup*i bins")
+        if abs(ckpt_pergroup - pergroup) > 1e-4:
+            raise ValueError(
+                f"checkpoint density bin width {ckpt_pergroup} != model "
+                f"pergroup {pergroup}; rebuild DGCNN(pergroup={ckpt_pergroup})"
+            )
 
     return {"params": params, "batch_stats": bstats}
 

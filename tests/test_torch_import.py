@@ -164,15 +164,19 @@ class TestTorchImport:
         out = model.apply(new, x, train=False, heads=("defrec",))
         assert np.isfinite(np.asarray(out["cls"])).all()
 
-    def test_bad_density_bins_rejected(self):
+    def test_bad_density_bins_rejected(self, imported):
+        _, variables, _ = imported
         rng = np.random.default_rng(2)
         sd = make_reference_state_dict(rng)
         sd["Density_cls.fc2.weight"] = torch.tensor(
             rng.standard_normal((1, 16)), dtype=torch.float32)
-        model = DGCNN(num_classes=10, k=20)
-        variables = jax.jit(
-            lambda r, x: model.init({"params": r}, x, train=False,
-                                    heads=("defrec", "normal", "scan", "density"))
-        )(jax.random.key(0), jnp.zeros((1, 64, 3), jnp.float32))
         with pytest.raises(ValueError, match="fc2"):
             import_dgcnn(sd, variables)
+
+    def test_pergroup_mismatch_rejected(self, imported):
+        _, variables, _ = imported
+        sd = make_reference_state_dict(np.random.default_rng(3))
+        sd["Density_cls.fc2.weight"] = torch.tensor(
+            (5.0 * np.arange(16)).reshape(1, 16), dtype=torch.float32)
+        with pytest.raises(ValueError, match="pergroup"):
+            import_dgcnn(sd, variables, pergroup=2.0)
