@@ -18,7 +18,6 @@ import jax
 import numpy as np
 
 from mlsp_tpu.ops.fps import fps, fps_gather
-from mlsp_tpu.transforms.augment import rotate_shape, scale_to_unit_cube
 
 
 @dataclasses.dataclass
@@ -59,7 +58,8 @@ def batches(
 ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
     """Yield (clouds, labels) numpy batches; device transfer is the
     caller's (jit's) job."""
-    idx = np.arange(data.shape[0]) if indices is None else np.asarray(indices)
+    # Copy: shuffling must never mutate the caller's split arrays.
+    idx = np.arange(data.shape[0]) if indices is None else np.array(indices, copy=True)
     if shuffle:
         (rng or np.random.default_rng()).shuffle(idx)
     n = idx.shape[0]
@@ -72,6 +72,17 @@ def batches(
 
 def num_batches(n_examples: int, batch_size: int, drop_last: bool) -> int:
     return n_examples // batch_size if drop_last else -(-n_examples // batch_size)
+
+
+def pad_batch(x: np.ndarray, y: np.ndarray, size: int):
+    """Repetition-pad a trailing partial batch to `size`; returns
+    (x, y, valid_count). Shared by every eval/selection loop."""
+    n = x.shape[0]
+    if n == size:
+        return x, y, n
+    reps = -(-size // n)
+    return (np.concatenate([x] * reps)[:size],
+            np.concatenate([y] * reps)[:size], n)
 
 
 # ---------------------------------------------------------------------------
@@ -106,15 +117,32 @@ def standardize_clouds(
     Duplicate-padding before FPS is exact: duplicated points never alter
     farthest-point geometry and ties resolve to the first occurrence.
     """
+    # Host-side numpy math: eager per-cloud device ops through the TPU
+    # relay cost one RTT each (see CLAUDE.md), so unit-cube scaling and
+    # the alignment rotation stay in numpy; only FPS goes to the device,
+    # batched.
+    def _unit_cube(x):
+        x = x - x.mean(0)
+        return x / max(float(np.linalg.norm(x, axis=1).max()), 1e-12)
+
+    def _rot(x, axis, angle):
+        c, sn = np.cos(angle), np.sin(angle)
+        mats = {
+            "x": [[1, 0, 0], [0, c, -sn], [0, sn, c]],
+            "y": [[c, 0, sn], [0, 1, 0], [-sn, 0, c]],
+            "z": [[c, -sn, 0], [sn, c, 0], [0, 0, 1]],
+        }
+        return x @ np.asarray(mats[axis], np.float32)
+
     out = np.empty((len(clouds), num_points, 3), np.float32)
     # Group by padded size to bound jit recompiles.
     pads: dict[int, list[int]] = {}
     prepped: list[np.ndarray] = []
     for i, pc in enumerate(clouds):
         pc = np.asarray(pc, np.float32)[:, :3]
-        pc = np.asarray(scale_to_unit_cube(pc))
+        pc = _unit_cube(pc)
         if rotate_axis is not None and (rotate_mask is None or rotate_mask[i]):
-            pc = np.asarray(rotate_shape(pc, rotate_axis, rotate_angle))
+            pc = _rot(pc, rotate_axis, rotate_angle)
         if pc.shape[0] <= num_points:
             if pc.shape[0] < num_points:  # repeat-pad small clouds
                 reps = -(-num_points // pc.shape[0])

@@ -61,19 +61,29 @@ def available() -> bool:
     return load() is not None
 
 
+def _require():
+    lib = load()
+    if lib is None:
+        raise RuntimeError(
+            "native library unavailable (g++ build failed or missing); "
+            "use the device kernels in mlsp_tpu.ops instead"
+        )
+    return lib
+
+
 def _fptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
 def scale_to_unit_cube(pts: np.ndarray) -> np.ndarray:
-    lib = load()
+    lib = _require()
     out = np.ascontiguousarray(pts, np.float32).copy()
     lib.mlsp_scale_to_unit_cube(_fptr(out), out.shape[0])
     return out
 
 
 def fps(pts: np.ndarray, npoint: int, start: int = 0) -> np.ndarray:
-    lib = load()
+    lib = _require()
     pts = np.ascontiguousarray(pts, np.float32)
     out = np.zeros(npoint, np.int64)
     lib.mlsp_fps(_fptr(pts), pts.shape[0], npoint, start,
@@ -82,7 +92,7 @@ def fps(pts: np.ndarray, npoint: int, start: int = 0) -> np.ndarray:
 
 
 def radius_count(pts: np.ndarray, radius: float, cap: int = 100) -> np.ndarray:
-    lib = load()
+    lib = _require()
     pts = np.ascontiguousarray(pts, np.float32)
     out = np.zeros(pts.shape[0], np.float32)
     lib.mlsp_radius_count(_fptr(pts), pts.shape[0], radius, cap, _fptr(out))
@@ -90,7 +100,7 @@ def radius_count(pts: np.ndarray, radius: float, cap: int = 100) -> np.ndarray:
 
 
 def estimate_normals(pts: np.ndarray, k: int = 20) -> np.ndarray:
-    lib = load()
+    lib = _require()
     pts = np.ascontiguousarray(pts, np.float32)
     out = np.zeros_like(pts)
     lib.mlsp_estimate_normals(_fptr(pts), pts.shape[0], k, _fptr(out))

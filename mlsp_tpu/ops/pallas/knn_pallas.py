@@ -21,7 +21,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _knn_kernel(xq_ref, xdb_ref, out_ref, *, k: int, n: int):
+def _knn_kernel(xq_ref, xdb_ref, out_ref, *, k: int):
     xq = xq_ref[0]  # [TILE, C]
     xdb = xdb_ref[0]  # [N, C]
     qq = jnp.sum(xq * xq, axis=-1, keepdims=True)  # [TILE, 1]
@@ -34,10 +34,10 @@ def _knn_kernel(xq_ref, xdb_ref, out_ref, *, k: int, n: int):
         # bf16 rounding reorders neighbours vs the XLA reference path
     )  # [TILE, N]
     dist = qq - 2.0 * inner + dd.T
-    # Tie-break toward lower index like a stable sort: bias each column by
-    # an index-proportional epsilon far below distance resolution.
+    # Lowest-index tie-break comes from jnp.argmin's first-match
+    # semantics — no bias term needed (or representable: 1e-12 is far
+    # below one ulp of typical f32 distances).
     col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
-    dist = dist + col.astype(jnp.float32) * 1e-12
 
     d = dist
     for j in range(k):
@@ -67,7 +67,7 @@ def knn_pallas(x: jax.Array, k: int, tile: int = 128, interpret: bool = False) -
     x = x.astype(jnp.float32)
 
     out = pl.pallas_call(
-        functools.partial(_knn_kernel, k=k, n=N),
+        functools.partial(_knn_kernel, k=k),
         out_shape=jax.ShapeDtypeStruct((B, N, k), jnp.int32),
         grid=grid,
         in_specs=[

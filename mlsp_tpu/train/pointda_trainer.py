@@ -16,26 +16,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from mlsp_tpu.data import batches, load_pointda
+from mlsp_tpu.data.pipeline import pad_batch
 from mlsp_tpu.models import make_model
 from mlsp_tpu.train import steps
 from mlsp_tpu.train.state import create_train_state
 from mlsp_tpu.utils import checkpoint, metrics
 from mlsp_tpu.utils.config import PointDAConfig
 from mlsp_tpu.utils.logging import IOStream
-
-
-def _pad_batch(x, y, size):
-    """Pad a trailing partial batch by repetition (avoids jit reshapes);
-    returns (x, y, valid_count)."""
-    n = x.shape[0]
-    if n == size:
-        return x, y, n
-    reps = -(-size // n)
-    return (
-        np.concatenate([x] * reps)[:size],
-        np.concatenate([y] * reps)[:size],
-        n,
-    )
 
 
 def evaluate(state, data, label, batch_size, num_classes, indices=None):
@@ -46,7 +33,7 @@ def evaluate(state, data, label, batch_size, num_classes, indices=None):
     """
     stack_x, stack_y, counts = [], [], []
     for bx, by in batches(data, label, batch_size, indices=indices):
-        bx, by, n = _pad_batch(bx, by, batch_size)
+        bx, by, n = pad_batch(bx, by, batch_size)
         stack_x.append(bx)
         stack_y.append(by)
         counts.append(n)
@@ -57,7 +44,7 @@ def evaluate(state, data, label, batch_size, num_classes, indices=None):
     for logits, by, n in zip(all_logits, stack_y, counts):
         logits = logits[:n]
         p = logits.argmax(-1)
-        logp = logits - np.log(np.exp(logits - logits.max(-1, keepdims=True)).sum(-1, keepdims=True)) - logits.max(-1, keepdims=True)
+        logp = metrics.log_softmax_np(logits)
         losses.append(-logp[np.arange(n), by[:n]].sum())
         preds.append(p)
         trues.append(by[:n])

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mlsp_tpu.data import batches, load_pointsegda
+from mlsp_tpu.data.pipeline import pad_batch
 from mlsp_tpu.models import DGCNNSeg
 from mlsp_tpu.train import seg_steps
 from mlsp_tpu.train.state import create_train_state
@@ -24,25 +25,15 @@ from mlsp_tpu.utils.logging import IOStream
 MAX_LOSS = 9e9
 
 
-def _pad(x, y, size):
-    n = x.shape[0]
-    if n == size:
-        return x, y, n
-    reps = -(-size // n)
-    return np.concatenate([x] * reps)[:size], np.concatenate([y] * reps)[:size], n
-
-
 def evaluate_seg(state, data, label, batch_size):
     """Seg loss / mIoU / accuracy (averaged per sample, reference-style)."""
     seg_loss = miou = acc = 0.0
     n_total = 0
     for bx, by in batches(data, label, batch_size):
-        bx, by, n = _pad(bx, by, batch_size)
+        bx, by, n = pad_batch(bx, by, batch_size)
         logits = np.asarray(seg_steps.seg_eval_step(state, jnp.asarray(bx)))[:n]
         by = by[:n]
-        logp = logits - np.log(
-            np.exp(logits - logits.max(-1, keepdims=True)).sum(-1, keepdims=True)
-        ) - logits.max(-1, keepdims=True)
+        logp = metrics.log_softmax_np(logits)
         seg_loss += -np.take_along_axis(logp, by[..., None], -1).mean() * n
         preds = logits.argmax(-1)
         bm, ba = metrics.seg_metrics(by, preds)
@@ -72,6 +63,7 @@ def train_pointsegda(cfg: PointSegDAConfig, io: IOStream | None = None):
         num_classes=cfg.num_class, dropout=cfg.dropout,
         density_num_cls=cfg.density_num_class, pergroup=cfg.pergroup,
         knn_backend=cfg.knn_backend,
+        dtype=jnp.bfloat16 if cfg.compute_dtype == "bf16" else None,
     )
     N = src_train.data.shape[1]
     sample = jnp.zeros((bsz, N, 3), jnp.float32)

@@ -92,7 +92,7 @@ def _seg_step_inner(state, src_x, src_y, trgt_x, key, cfg):
                 state, params, bstats, dx, ("defrec", "normal", "density"), keys[9]
             )
             l = L.defrec_loss(logits["defrec"], trgt_x, mask, cfg.DefRec_weight)
-            m["trgt_DefRec"] = l
+            m["trgt_DefRec"] = m.get("trgt_DefRec", 0.0) + l
             total = total + l
             # Seg variant: boost +1, not *26+1 (PointSegDA/trainer.py:412).
             w = L.region_weights(mask, cfg.Density_normal_defpart, boost=1.0)

@@ -76,22 +76,18 @@ def select_pseudo_labels(state, data, label, indices, batch_size, threshold,
     Entropy variant reproduces the reference's double-softmax quirk
     (`train_spst.py:258`): entropy of softmax(softmax(logits)).
     """
+    from mlsp_tpu.data.pipeline import pad_batch
+
     pcs, plabels, tlabels = [], [], []
     for bx, by in batches(data, label, batch_size, indices=indices):
-        n = bx.shape[0]
-        if n < batch_size:  # pad for the jitted forward
-            reps = -(-batch_size // n)
-            bx_p = np.concatenate([bx] * reps)[:batch_size]
-        else:
-            bx_p = bx
+        bx_p, _, n = pad_batch(bx, by, batch_size)
         logits = np.asarray(steps.eval_step(state, jnp.asarray(bx_p)))[:n]
-        e = np.exp(logits - logits.max(-1, keepdims=True))
-        conf = e / e.sum(-1, keepdims=True)
+        conf = metrics.softmax_np(logits)
         pred = conf.argmax(-1)
         if use_entropy:
-            e2 = np.exp(conf - conf.max(-1, keepdims=True))
-            logsm2 = conf - conf.max(-1, keepdims=True) - np.log(e2.sum(-1, keepdims=True))
-            ent = -(conf * logsm2).sum(-1)
+            # entropy of softmax(softmax(logits)) — the reference's
+            # double-softmax quirk (train_spst.py:258)
+            ent = -(conf * metrics.log_softmax_np(conf)).sum(-1)
             keep = ent < threshold
         else:
             keep = conf.max(-1) > threshold
@@ -120,7 +116,15 @@ def train_spst(cfg: SPSTConfig, io: IOStream | None = None, initial_state=None):
     trgt_test = load_pointda(cfg.trgt_dataset, cfg.dataroot, "test",
                              cfg.num_points, cfg.synthetic, cfg.seed)
 
-    model = make_model(cfg.model, cfg.num_class, dropout=cfg.dropout)
+    import jax.numpy as _jnp
+
+    _dt = _jnp.bfloat16 if cfg.compute_dtype == "bf16" else None
+    model = make_model(
+        cfg.model, cfg.num_class, dropout=cfg.dropout,
+        **(dict(density_num_cls=cfg.density_num_class, pergroup=cfg.pergroup,
+                knn_backend=cfg.knn_backend, dtype=_dt)
+           if cfg.model == "dgcnn" else {}),
+    )
     sample = jnp.zeros((cfg.batch_size, cfg.num_points, 3), jnp.float32)
     key, ik = jax.random.split(key)
     spe = len(trgt_train.train_ind) // cfg.batch_size
@@ -193,10 +197,11 @@ def train_spst(cfg: SPSTConfig, io: IOStream | None = None, initial_state=None):
                 json.dump(curves, f)
 
             if src_val["acc"] > best["src_val_acc"]:
+                global_epoch = rnd * cfg.epochs + epoch
                 best.update(src_val_acc=src_val["acc"],
-                            epoch=rnd * cfg.epochs + epoch, state=state)
+                            epoch=global_epoch, state=state)
                 checkpoint.save_train_state(
-                    os.path.join(io.path, "model.ckpt"), state, epoch,
+                    os.path.join(io.path, "model.ckpt"), state, global_epoch,
                     {"src_val_acc": src_val["acc"]})
                 io.cprint(
                     f"== Best val model at epoch {best['epoch']}: src val "
@@ -204,7 +209,8 @@ def train_spst(cfg: SPSTConfig, io: IOStream | None = None, initial_state=None):
                 if trgt_tst["acc"] > best["trgt_test_acc"]:
                     best["trgt_test_acc"] = trgt_tst["acc"]
                     checkpoint.save_train_state(
-                        os.path.join(io.path, "best_model.ckpt"), state, epoch,
+                        os.path.join(io.path, "best_model.ckpt"), state,
+                        rnd * cfg.epochs + epoch,
                         {"trgt_test_acc": trgt_tst["acc"]})
 
     final = evaluate(best["state"], trgt_test.data, trgt_test.label,

@@ -104,7 +104,10 @@ def _ssl_recipe_losses(cfg, logits, x_orig, mask, normal_gt, dvec, dval, prefix,
     """Shared DefRec+Normal+Density-on-deformed block
     (`PointDA/trainer.py:434-455` source / `:544-565` target)."""
     total = L.defrec_loss(logits["defrec"], x_orig, mask, cfg.DefRec_weight)
-    m[f"{prefix}_DefRec"] = total
+    # Accumulate: DefRec_on_trgt + Density_normal_viainput both emit a
+    # target DefRec term (the reference sums them into one counter,
+    # trainer.py:471,545).
+    m[f"{prefix}_DefRec"] = m.get(f"{prefix}_DefRec", 0.0) + total
     w = L.region_weights(mask, cfg.Density_normal_defpart)
     if cfg.Normal_ondef:
         nl = L.masked_normal_loss(logits["normal"], normal_gt, w, cfg.normal_pred_weight)
@@ -235,7 +238,7 @@ def _pointda_step_inner(state, src_x, src_y, trgt_x, key, cfg):
                 state, params, bstats, dx, ("defrec", "normal", "density"), keys[15]
             )
             l = L.defrec_loss(logits["defrec"], trgt_x, mask, cfg.DefRec_weight)
-            m["trgt_DefRec"] = l
+            m["trgt_DefRec"] = m.get("trgt_DefRec", 0.0) + l
             total = total + l
             idx_pair = ops.nearest_index_pair(logits["defrec"], trgt_x, mask)
             w = L.region_weights(mask, cfg.Density_normal_defpart)

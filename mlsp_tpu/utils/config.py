@@ -121,7 +121,7 @@ class SPSTConfig:
     momentum: float = 0.9
     wd: float = 5e-5
     dropout: float = 0.5
-    apply_PCM: bool = True
+    apply_PCM: bool = False  # reference train_spst.py:78 default
     mixup_params: float = 1.0
     DefRec_weight: float = 0.5
     epochs: int = 10

@@ -11,6 +11,19 @@ from __future__ import annotations
 import numpy as np
 
 
+def log_softmax_np(logits: np.ndarray) -> np.ndarray:
+    """Numerically-stable log-softmax over the last axis (shared by the
+    eval/selection loops)."""
+    m = logits.max(-1, keepdims=True)
+    e = logits - m
+    return e - np.log(np.exp(e).sum(-1, keepdims=True))
+
+
+def softmax_np(logits: np.ndarray) -> np.ndarray:
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    return e / e.sum(-1, keepdims=True)
+
+
 def accuracy(y_true, y_pred) -> float:
     y_true, y_pred = np.asarray(y_true), np.asarray(y_pred)
     return float((y_true == y_pred).mean()) if y_true.size else 0.0

@@ -168,3 +168,15 @@ class TestDeterminism:
         _, r = train_pointda(cfg2)
         log = open(os.path.join(str(tmp_path), "res2", "run.log")).read()
         assert "resumed from" in log
+
+
+class TestIndexIntegrity:
+    def test_batches_does_not_mutate_indices(self, rng):
+        """Regression: shuffle=True must not permute the caller's split."""
+        data = rng.standard_normal((12, 4, 3)).astype(np.float32)
+        label = np.arange(12)
+        ind = np.arange(0, 12, 2)
+        before = ind.copy()
+        list(batches(data, label, 3, indices=ind, shuffle=True,
+                     rng=np.random.default_rng(0)))
+        np.testing.assert_array_equal(ind, before)
