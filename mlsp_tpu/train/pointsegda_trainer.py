@@ -74,6 +74,10 @@ def train_pointsegda(cfg: PointSegDAConfig, io: IOStream | None = None):
         heads=("seg", "defrec", "normal", "density"),
     )
 
+    from mlsp_tpu.utils.summary import model_summary
+
+    io.cprint("\n" + model_summary(state.params))  # torchsummary parity
+
     best = {"src_val_loss": MAX_LOSS, "epoch": -1, "state": state}
     ckpt_path = os.path.join(io.path, "model.ckpt")
 
