@@ -188,3 +188,20 @@ class TestSPL:
                 assert sel == 1.0
             else:
                 assert sel == 0.0 and float(m["trgt_SPL"]) == 0.0
+
+
+class TestOnSrcRecipe:
+    def test_density_normal_viainput_onsrc(self, data):
+        sx, sy, tx = data
+        cfg = tiny_cfg(
+            model="dgcnn", Density_normal_viainput_onsrc=True,
+            Normal_ondef=True, Density_ondef=True,
+        )
+        model = DGCNN(num_classes=10, k=8)
+        state = make_state(model, ("defrec", "normal", "scan", "density"))
+        state, m = steps.pointda_train_step(
+            state, jnp.asarray(sx[:B]), jnp.asarray(sy[:B]),
+            jnp.asarray(tx[:B]), jax.random.key(5), cfg,
+        )
+        for name in ("src_DefRec", "src_def_normal", "src_def_density_cls"):
+            assert name in m and np.isfinite(float(m[name])), name
