@@ -108,3 +108,57 @@ class TestFactory:
         assert isinstance(make_model("pointnet2", 10), PointNet2SSG)
         with pytest.raises(ValueError):
             make_model("nope", 10)
+
+
+class TestEdgeConvEquivalence:
+    """EdgeConvM (moments form) must match EdgeConv (direct form) in
+    outputs, running stats, and gradients — including negative-gamma
+    channels that flip the max/min selection."""
+
+    def test_outputs_stats_grads_match(self, x):
+        from mlsp_tpu.models.dgcnn import EdgeConv, EdgeConvM
+        from mlsp_tpu.ops.knn import knn_indices
+
+        idx = knn_indices(x, 8)
+        a, b = EdgeConv(32), EdgeConvM(32)
+        va = a.init({"params": jax.random.key(0)}, x, idx, True)
+        scale = va["params"]["BatchNorm_0"]["scale"].at[3].set(-0.7).at[7].set(1.3)
+        bias = va["params"]["BatchNorm_0"]["bias"].at[1].set(0.2)
+        pa = dict(va["params"]); pa["BatchNorm_0"] = {"scale": scale, "bias": bias}
+        pb = {"w_diff": va["params"]["w_diff"], "w_center": va["params"]["w_center"],
+              "scale": scale, "bias": bias}
+        sb = {"mean": va["batch_stats"]["BatchNorm_0"]["mean"],
+              "var": va["batch_stats"]["BatchNorm_0"]["var"]}
+
+        for train in (True, False):
+            oa, ma = a.apply({"params": pa, "batch_stats": va["batch_stats"]},
+                             x, idx, train, mutable=["batch_stats"])
+            ob, mb = b.apply({"params": pb, "batch_stats": sb},
+                             x, idx, train, mutable=["batch_stats"])
+            np.testing.assert_allclose(np.asarray(oa), np.asarray(ob),
+                                       atol=1e-5, err_msg=f"train={train}")
+            if train:
+                np.testing.assert_allclose(
+                    np.asarray(ma["batch_stats"]["BatchNorm_0"]["mean"]),
+                    np.asarray(mb["batch_stats"]["mean"]), atol=1e-6)
+                np.testing.assert_allclose(
+                    np.asarray(ma["batch_stats"]["BatchNorm_0"]["var"]),
+                    np.asarray(mb["batch_stats"]["var"]), atol=1e-5)
+
+        def la(p):
+            o, _ = a.apply({"params": p, "batch_stats": va["batch_stats"]},
+                           x, idx, True, mutable=["batch_stats"])
+            return jnp.sum(o * jnp.cos(o))
+
+        def lb(p):
+            o, _ = b.apply({"params": p, "batch_stats": sb},
+                           x, idx, True, mutable=["batch_stats"])
+            return jnp.sum(o * jnp.cos(o))
+
+        ga, gb = jax.grad(la)(pa), jax.grad(lb)(pb)
+        np.testing.assert_allclose(
+            np.asarray(ga["w_diff"]["kernel"]), np.asarray(gb["w_diff"]["kernel"]),
+            atol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(ga["BatchNorm_0"]["scale"]), np.asarray(gb["scale"]),
+            atol=2e-3)
