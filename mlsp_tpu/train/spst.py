@@ -33,8 +33,7 @@ from mlsp_tpu.utils.logging import IOStream
 from mlsp_tpu.utils import metrics
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def spst_train_step(state, t_x, t_y, s_x, s_y, spl_weight, cls_weight, key, cfg):
+def _spst_step_inner(state, t_x, t_y, s_x, s_y, spl_weight, cls_weight, key, cfg):
     """One SPST iteration (`train_spst.py:472-498`).
 
     Pseudo-labeled target gets z-rotation only (`DataLoad.__getitem__`,
@@ -67,6 +66,29 @@ def spst_train_step(state, t_x, t_y, s_x, s_y, spl_weight, cls_weight, key, cfg)
 
     grads, (m, bstats) = jax.grad(loss_fn, has_aux=True)(state.params)
     return state.apply_gradients(grads=grads).replace(batch_stats=bstats), m
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def spst_train_step(state, t_x, t_y, s_x, s_y, spl_weight, cls_weight, key, cfg):
+    return _spst_step_inner(state, t_x, t_y, s_x, s_y, spl_weight, cls_weight,
+                            key, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def spst_train_scan(state, t_xs, t_ys, s_xs, s_ys, spl_weight, cls_weight,
+                    key, cfg):
+    """S SPST iterations as one device program (cf. pointda_train_scan)."""
+
+    def body(carry, batch):
+        state, key = carry
+        key, k = jax.random.split(key)
+        tx, ty, sx, sy = batch
+        state, m = _spst_step_inner(state, tx, ty, sx, sy, spl_weight,
+                                    cls_weight, k, cfg)
+        return (state, key), m
+
+    (state, _), ms = jax.lax.scan(body, (state, key), (t_xs, t_ys, s_xs, s_ys))
+    return state, ms
 
 
 def select_pseudo_labels(state, data, label, indices, batch_size, threshold,
@@ -168,7 +190,24 @@ def train_spst(cfg: SPSTConfig, io: IOStream | None = None, initial_state=None):
             s_iter = batches(src_train.data, src_train.label, cfg.batch_size,
                              indices=src_train.train_ind, shuffle=True,
                              drop_last=True, rng=rng)
-            for (tx, ty), (sx, sy) in zip(t_iter, s_iter):
+            pairs = list(zip(t_iter, s_iter))
+            S = max(cfg.scan_steps, 1)
+            full = (len(pairs) // S) * S if S > 1 else 0
+            for si in range(0, full, S):
+                chunk = pairs[si : si + S]
+                txs = jnp.asarray(np.stack([c[0][0] for c in chunk]))
+                tys = jnp.asarray(np.stack([c[0][1] for c in chunk]))
+                sxs = jnp.asarray(np.stack([c[1][0] for c in chunk]))
+                sys_ = jnp.asarray(np.stack([c[1][1] for c in chunk]))
+                key, k = jax.random.split(key)
+                state, ms = spst_train_scan(
+                    state, txs, tys, sxs, sys_,
+                    jnp.float32(spl_weight), jnp.float32(cls_weight), k, cfg,
+                )
+                count += S * cfg.batch_size
+                for name, v in ms.items():
+                    sums[name] = sums.get(name, 0.0) + float(jnp.sum(v)) * cfg.batch_size
+            for (tx, ty), (sx, sy) in pairs[full:]:
                 key, k = jax.random.split(key)
                 state, m = spst_train_step(
                     state, jnp.asarray(tx), jnp.asarray(ty),

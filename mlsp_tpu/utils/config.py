@@ -135,6 +135,7 @@ class SPSTConfig:
     pergroup: float = 2.0
     knn_backend: str = "auto"
     compute_dtype: str = "f32"
+    scan_steps: int = 8  # train steps fused per device dispatch (1 = off)
     synthetic: bool = False
 
 
