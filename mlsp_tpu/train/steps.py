@@ -129,8 +129,8 @@ def _ssl_recipe_losses(cfg, logits, x_orig, mask, normal_gt, dvec, dval, prefix,
     return total
 
 
-def _pointda_step_inner(state, src_x, src_y, trgt_x, key, cfg):
-    """Full MLSP PointDA train iteration (untraced body)."""
+def _pointda_grads_inner(state, src_x, src_y, trgt_x, key, cfg):
+    """Loss + grads of the full MLSP PointDA iteration (untraced body)."""
     keys = jax.random.split(key, 17)
     src_x = augment_batch(keys[0], src_x)
     trgt_x = augment_batch(keys[1], trgt_x)
@@ -285,6 +285,12 @@ def _pointda_step_inner(state, src_x, src_y, trgt_x, key, cfg):
         return total, (m, bstats)
 
     grads, (m, bstats) = jax.grad(loss_fn, has_aux=True)(state.params)
+    return grads, m, bstats
+
+
+def _pointda_step_inner(state, src_x, src_y, trgt_x, key, cfg):
+    """Full MLSP PointDA train iteration (untraced body)."""
+    grads, m, bstats = _pointda_grads_inner(state, src_x, src_y, trgt_x, key, cfg)
     state = state.apply_gradients(grads=grads)
     state = state.replace(batch_stats=bstats)
     return state, m
@@ -294,6 +300,17 @@ def _pointda_step_inner(state, src_x, src_y, trgt_x, key, cfg):
 def pointda_train_step(state, src_x, src_y, trgt_x, key, cfg):
     """Single jitted MLSP train iteration. Returns (state, metrics)."""
     return _pointda_step_inner(state, src_x, src_y, trgt_x, key, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def pointda_grads(state, src_x, src_y, trgt_x, key, cfg):
+    """Loss + raw grads of the full iteration, no optimizer update.
+
+    Used by the multi-chip dryrun to assert sharded-vs-single-device
+    gradient equality (post-Adam params are ill-conditioned for this:
+    a sign flip on a near-zero grad entry moves a param by 2*lr)."""
+    grads, m, _ = _pointda_grads_inner(state, src_x, src_y, trgt_x, key, cfg)
+    return grads, m
 
 
 @partial(jax.jit, static_argnames=("cfg",))
