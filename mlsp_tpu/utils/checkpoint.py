@@ -22,9 +22,23 @@ def save(path: str, tree: Any) -> None:
 
 
 def load(path: str, target: Any) -> Any:
-    """Restore into a pytree template of matching structure."""
+    """Restore into a pytree template of matching structure.
+
+    A structure or shape mismatch raises a ValueError naming the file
+    and the offending subtree (diagnostics parity with the reference's
+    `utils/checkpoint.py:16-47` missing/unexpected-key messages, which
+    its dead `resume_model` path never surfaced).
+    """
     with open(path, "rb") as f:
-        return serialization.from_bytes(target, f.read())
+        data = f.read()
+    try:
+        return serialization.from_bytes(target, data)
+    except (ValueError, KeyError, TypeError) as e:
+        raise ValueError(
+            f"checkpoint {path!r} does not match the model/optimizer "
+            f"structure it is being restored into (wrong model config, "
+            f"different heads, or a partial save?): {e}"
+        ) from e
 
 
 def save_train_state(path: str, state, epoch: int = 0, metrics: dict | None = None):

@@ -2,28 +2,96 @@
 
 Loads a `torch.save(model.state_dict())` checkpoint produced by the
 reference trainers (`utils/log.py:31-41` saves `model.pt`) and maps it
-onto the flax DGCNN parameter tree, so users can bring trained
-reference weights straight onto TPU.
+onto the flax parameter trees, so users can bring trained reference
+weights straight onto TPU. Covered models:
+
+  * `import_dgcnn`     — PointDA `DGCNN` (`PointDA/Models.py:82-162`)
+  * `import_pointnet`  — PointDA `PointNet` (`PointDA/Models.py:26-79`)
+  * `import_dgcnn_seg` — PointSegDA `DGCNN_DefRec`
+                         (`PointSegDA/Models.py:197-386`)
 
 Layout translations:
   * Conv1d/Conv2d 1x1 weights [out, in, 1(,1)]  ->  Dense kernel [in, out]
   * Linear weights [out, in]                    ->  Dense kernel [in, out]
   * EdgeConv convs consume concat(x_j - x_i, x_i) in torch; our
     decomposed EdgeConv splits W into w_diff = W[:, :C] and
-    w_center = W[:, C:] (see models/dgcnn.py::EdgeConv).
+    w_center = W[:, C:] (see models/dgcnn.py::EdgeConv). The seg model's
+    *linear* double-EdgeConv blocks additionally compose the second conv
+    into both chains (see models/dgcnn_seg.py::LinearEdgeBlock).
   * BatchNorm: weight->scale, bias->bias, running_mean/var->batch_stats.
   * Density head's frozen expectation layer (fc2, weights pergroup*i,
     `PointDA/Models.py:267-270`) is analytic here — validated, not
     imported.
 
 DataParallel's "module." prefix is stripped automatically.
+
+Diagnostics (parity with `/root/reference/utils/checkpoint.py:16-134`):
+a partial checkpoint raises `CheckpointMismatchError` listing EVERY
+missing source key (grouped by module prefix, as the reference's
+`get_missing_parameters_message` does); keys present in the checkpoint
+but unused by the mapping produce a warning via
+`get_unexpected_parameters_message`. Shape mismatches are collected and
+reported together with both shapes.
 """
 
 from __future__ import annotations
 
-from typing import Any
+import warnings
+from collections import defaultdict
 
 import numpy as np
+
+
+class CheckpointMismatchError(ValueError):
+    """A torch checkpoint does not match the target model."""
+
+
+# ---------------------------------------------------------------------------
+# key-grouping diagnostics (reference utils/checkpoint.py:16-134 parity)
+# ---------------------------------------------------------------------------
+
+
+def _group_checkpoint_keys(keys):
+    """Group keys by the prefix up to the final '.' (`checkpoint.py:84-102`)."""
+    groups = defaultdict(list)
+    for key in keys:
+        pos = key.rfind(".")
+        if pos >= 0:
+            groups[key[:pos]].extend([key[pos + 1:]])
+        else:
+            groups[key].extend([])
+    return groups
+
+
+def _group_to_str(group) -> str:
+    if not group:
+        return ""
+    if len(group) == 1:
+        return "." + group[0]
+    return ".{" + ", ".join(group) + "}"
+
+
+def get_missing_parameters_message(keys) -> str:
+    """Keys the model mapping needs but the checkpoint lacks
+    (`utils/checkpoint.py:16-30`)."""
+    groups = _group_checkpoint_keys(keys)
+    msg = "Some model parameters or buffers are not found in the checkpoint:\n"
+    msg += "\n".join("  " + k + _group_to_str(v) for k, v in groups.items())
+    return msg
+
+
+def get_unexpected_parameters_message(keys) -> str:
+    """Checkpoint keys not used by the model mapping
+    (`utils/checkpoint.py:33-47`)."""
+    groups = _group_checkpoint_keys(keys)
+    msg = "The checkpoint state_dict contains keys that are not used by the model:\n"
+    msg += "\n".join("  " + k + _group_to_str(v) for k, v in groups.items())
+    return msg
+
+
+# ---------------------------------------------------------------------------
+# low-level tensor translation
+# ---------------------------------------------------------------------------
 
 
 def _np(t) -> np.ndarray:
@@ -48,129 +116,222 @@ def load_torch_state_dict(path: str) -> dict:
     return {k.removeprefix("module."): v for k, v in sd.items()}
 
 
-def import_dgcnn(sd: dict, variables: dict, pergroup: float = 2.0) -> dict:
+class _MissingKey(KeyError):
+    def __init__(self, key: str):
+        super().__init__(key)
+        self.key = key
+
+
+class _Mapper:
+    """Tracks consumed source keys, missing keys, and shape mismatches
+    while mapping a torch state_dict onto flax params/batch_stats."""
+
+    def __init__(self, sd: dict, variables: dict, model_name: str):
+        import jax
+
+        self.sd = sd
+        self.model_name = model_name
+        self.consumed: set[str] = set()
+        self.missing: list[str] = []
+        self.bad_shapes: list[str] = []
+        self.params = jax.tree_util.tree_map(np.asarray, variables["params"])
+        self.bstats = jax.tree_util.tree_map(
+            np.asarray, variables.get("batch_stats", {}))
+
+    # -- source access ------------------------------------------------------
+    def src(self, key: str):
+        if key not in self.sd:
+            raise _MissingKey(key)
+        self.consumed.add(key)
+        return self.sd[key]
+
+    def src_opt(self, key: str):
+        if key in self.sd:
+            self.consumed.add(key)
+            return self.sd[key]
+        return None
+
+    # -- guarded mapping units ---------------------------------------------
+    def unit(self, fn, *args, **kwargs):
+        """Run one mapping unit; record (don't raise) its missing keys."""
+        try:
+            fn(*args, **kwargs)
+        except _MissingKey as e:
+            self.missing.append(e.key)
+
+    # -- destinations ---------------------------------------------------------
+    def _node(self, tree, path):
+        node = tree
+        for k in path:
+            node = node[k]
+        return node
+
+    def set_dense(self, dst_path, kernel, bias=None):
+        leaf = self._node(self.params, dst_path)
+        if leaf["kernel"].shape != kernel.shape:
+            self.bad_shapes.append(
+                f"{'/'.join(dst_path)}: checkpoint {kernel.shape} "
+                f"!= model {leaf['kernel'].shape}")
+            return
+        leaf["kernel"] = kernel.astype(np.float32)
+        # Only place a bias where the flax layer has one — reference
+        # layers are bias-free in several positions.
+        if bias is not None and "bias" in leaf:
+            leaf["bias"] = _np(bias)
+
+    def set_bn(self, dst_params_path, dst_stats_path, src_prefix):
+        node = self._node(self.params, dst_params_path)
+        node["scale"] = _np(self.src(f"{src_prefix}.weight"))
+        node["bias"] = _np(self.src(f"{src_prefix}.bias"))
+        snode = self._node(self.bstats, dst_stats_path)
+        snode["mean"] = _np(self.src(f"{src_prefix}.running_mean"))
+        snode["var"] = _np(self.src(f"{src_prefix}.running_var"))
+        self.src_opt(f"{src_prefix}.num_batches_tracked")
+
+    def densebn(self, dst, src_conv, src_bn=None, linear=False):
+        """Map conv/linear (+ optional BN) into a DenseBN block."""
+        w = (_linear_kernel(self.src(src_conv + ".weight")) if linear
+             else _conv_kernel(self.src(src_conv + ".weight")))
+        self.set_dense(dst + ["Dense_0"], w, self.src_opt(src_conv + ".bias"))
+        if src_bn is not None:
+            self.set_bn(dst + ["BatchNorm_0"], dst + ["BatchNorm_0"], src_bn)
+
+    def point_head(self, dst: str, src: str, out_bias: bool = False):
+        """4-layer per-point head (conv1-3 + BN + conv4)."""
+        for j in range(3):
+            self.unit(self.densebn, [dst, f"DenseBN_{j}"],
+                      f"{src}.conv{j+1}", f"{src}.bn{j+1}")
+        self.unit(lambda: self.set_dense(
+            [dst, "Dense_0"], _conv_kernel(self.src(f"{src}.conv4.weight")),
+            self.src_opt(f"{src}.conv4.bias") if out_bias else None))
+
+    def density_head(self, dst: str, src: str, pergroup: float):
+        self.unit(self.densebn, [dst, "DenseBN_0"], f"{src}.conv1", f"{src}.bn1")
+        self.unit(self.densebn, [dst, "DenseBN_1"], f"{src}.mlp1.fc.0",
+                  f"{src}.mlp1.fc.1", True)
+        self.unit(self.densebn, [dst, "DenseBN_2"], f"{src}.mlp2.fc.0",
+                  f"{src}.mlp2.fc.1", True)
+        self.unit(lambda: self.set_dense(
+            [dst, "Dense_0"], _linear_kernel(self.src(f"{src}.mlp3.weight")),
+            self.src(f"{src}.mlp3.bias")))
+        # Frozen expectation layer: our DensityHead computes the
+        # expectation analytically with bins pergroup * i, so the
+        # checkpoint's bin width MUST match the flax model's pergroup.
+        w = self.src_opt(f"{src}.fc2.weight")
+        if w is not None:
+            w = _np(w).reshape(-1)
+            ckpt_pergroup = float(w[1] - w[0]) if len(w) > 1 else pergroup
+            want = ckpt_pergroup * np.arange(len(w))
+            if not np.allclose(w, want, atol=1e-4):
+                raise ValueError(
+                    f"{src}.fc2 weights are not linear pergroup*i bins")
+            if abs(ckpt_pergroup - pergroup) > 1e-4:
+                raise ValueError(
+                    f"checkpoint density bin width {ckpt_pergroup} != model "
+                    f"pergroup {pergroup}; rebuild with pergroup={ckpt_pergroup}")
+
+    # -- finishing -----------------------------------------------------------
+    def finish(self, strict: bool = True) -> dict:
+        problems = []
+        if self.missing:
+            problems.append(get_missing_parameters_message(sorted(self.missing)))
+        if self.bad_shapes:
+            problems.append(
+                "Checkpoint tensors with mismatched shapes:\n  "
+                + "\n  ".join(self.bad_shapes))
+        if problems and strict:
+            raise CheckpointMismatchError(
+                f"checkpoint does not match {self.model_name}:\n"
+                + "\n".join(problems))
+        unexpected = sorted(
+            k for k in self.sd
+            if k not in self.consumed and not k.endswith("num_batches_tracked"))
+        if unexpected:
+            warnings.warn(get_unexpected_parameters_message(unexpected),
+                          stacklevel=3)
+        return {"params": self.params, "batch_stats": self.bstats}
+
+
+# ---------------------------------------------------------------------------
+# PointDA DGCNN (`PointDA/Models.py:82-162`)
+# ---------------------------------------------------------------------------
+
+
+def import_dgcnn(sd: dict, variables: dict, pergroup: float = 2.0,
+                 strict: bool = True) -> dict:
     """Map a reference DGCNN state_dict onto flax variables.
 
     Args:
       sd: torch state dict (keys per `PointDA/Models.py:82-105`).
       variables: flax {"params", "batch_stats"} from `DGCNN.init` with
         heads ("defrec", "normal", "scan", "density").
+      strict: raise `CheckpointMismatchError` on missing keys / shape
+        mismatches (otherwise map what's there and warn).
 
     Returns:
-      new variables dict; raises KeyError on missing source keys.
+      new variables dict.
     """
-    import jax
-
-    params = jax.tree_util.tree_map(np.asarray, variables["params"])
-    bstats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
-
-    def set_dense(dst_p, kernel, bias=None):
-        node = params
-        for k in dst_p[:-1]:
-            node = node[k]
-        leaf = node[dst_p[-1]]
-        assert leaf["kernel"].shape == kernel.shape, (
-            dst_p, leaf["kernel"].shape, kernel.shape)
-        leaf["kernel"] = kernel.astype(np.float32)
-        # Only place a bias where the flax layer has one — reference
-        # layers are bias-free in several dgcnn positions.
-        if bias is not None and "bias" in leaf:
-            leaf["bias"] = _np(bias)
-
-    def set_bn(dst_params_path, dst_stats_path, src_prefix):
-        node = params
-        for k in dst_params_path:
-            node = node[k]
-        node["scale"] = _np(sd[f"{src_prefix}.weight"])
-        node["bias"] = _np(sd[f"{src_prefix}.bias"])
-        snode = bstats
-        for k in dst_stats_path:
-            snode = snode[k]
-        snode["mean"] = _np(sd[f"{src_prefix}.running_mean"])
-        snode["var"] = _np(sd[f"{src_prefix}.running_var"])
-
-    def densebn(dst, src_conv, src_bn, linear=False):
-        """Map conv/linear + BN into a DenseBN block."""
-        w = _linear_kernel(sd[src_conv + ".weight"]) if linear else _conv_kernel(
-            sd[src_conv + ".weight"])
-        set_dense(dst + ["Dense_0"], w, sd.get(src_conv + ".bias"))
-        set_bn(dst + ["BatchNorm_0"], dst + ["BatchNorm_0"], src_bn)
+    m = _Mapper(sd, variables, "DGCNN")
 
     # ---- input transform net (transform_net(args, 6, 3)) ----
     tn = ["TransformNet_0"]
-    densebn(tn + ["DenseBN_0"], "input_transform_net.conv2d1.conv.0",
-            "input_transform_net.conv2d1.conv.1")
-    densebn(tn + ["DenseBN_1"], "input_transform_net.conv2d2.conv.0",
-            "input_transform_net.conv2d2.conv.1")
-    densebn(tn + ["DenseBN_2"], "input_transform_net.conv2d3.conv.0",
-            "input_transform_net.conv2d3.conv.1")
-    densebn(tn + ["DenseBN_3"], "input_transform_net.fc1.fc.0",
-            "input_transform_net.fc1.fc.1", linear=True)
-    densebn(tn + ["DenseBN_4"], "input_transform_net.fc2.fc.0",
-            "input_transform_net.fc2.fc.1", linear=True)
-    set_dense(tn + ["Dense_0"],
-              _linear_kernel(sd["input_transform_net.fc3.weight"]),
-              sd["input_transform_net.fc3.bias"])
+    m.unit(m.densebn, tn + ["DenseBN_0"], "input_transform_net.conv2d1.conv.0",
+           "input_transform_net.conv2d1.conv.1")
+    m.unit(m.densebn, tn + ["DenseBN_1"], "input_transform_net.conv2d2.conv.0",
+           "input_transform_net.conv2d2.conv.1")
+    m.unit(m.densebn, tn + ["DenseBN_2"], "input_transform_net.conv2d3.conv.0",
+           "input_transform_net.conv2d3.conv.1")
+    m.unit(m.densebn, tn + ["DenseBN_3"], "input_transform_net.fc1.fc.0",
+           "input_transform_net.fc1.fc.1", True)
+    m.unit(m.densebn, tn + ["DenseBN_4"], "input_transform_net.fc2.fc.0",
+           "input_transform_net.fc2.fc.1", True)
+    m.unit(lambda: m.set_dense(
+        tn + ["Dense_0"], _linear_kernel(m.src("input_transform_net.fc3.weight")),
+        m.src("input_transform_net.fc3.bias")))
 
     # ---- EdgeConv stages: split concat-weights into diff/center ----
+    def edge_stage(i, src, cin):
+        w = _np(m.src(f"{src}.conv.0.weight"))  # [out, 2*cin, 1, 1]
+        w = w.reshape(w.shape[0], w.shape[1])
+        blk = _edge_block_name(m.params, i)
+        m.set_dense([blk, "w_diff"], w[:, :cin].T)
+        m.set_dense([blk, "w_center"], w[:, cin:].T)
+        if "BatchNorm_0" in m.params[blk]:  # direct EdgeConv
+            m.set_bn([blk, "BatchNorm_0"], [blk, "BatchNorm_0"], f"{src}.conv.1")
+        else:  # EdgeConvM: scale/bias at block level
+            m.params[blk]["scale"] = _np(m.src(f"{src}.conv.1.weight"))
+            m.params[blk]["bias"] = _np(m.src(f"{src}.conv.1.bias"))
+            m.bstats[blk]["mean"] = _np(m.src(f"{src}.conv.1.running_mean"))
+            m.bstats[blk]["var"] = _np(m.src(f"{src}.conv.1.running_var"))
+            m.src_opt(f"{src}.conv.1.num_batches_tracked")
+
     for i, (src, cin) in enumerate(
         [("conv1", 3), ("conv2", 64), ("conv3", 64), ("conv4", 128)]
     ):
-        w = _np(sd[f"{src}.conv.0.weight"])  # [out, 2*cin, 1, 1]
-        w = w.reshape(w.shape[0], w.shape[1])
-        blk = _edge_block_name(params, i)
-        set_dense([blk, "w_diff"], w[:, :cin].T)
-        set_dense([blk, "w_center"], w[:, cin:].T)
-        if "BatchNorm_0" in params[blk]:  # direct EdgeConv
-            set_bn([blk, "BatchNorm_0"], [blk, "BatchNorm_0"], f"{src}.conv.1")
-        else:  # EdgeConvM: scale/bias at block level
-            params[blk]["scale"] = _np(sd[f"{src}.conv.1.weight"])
-            params[blk]["bias"] = _np(sd[f"{src}.conv.1.bias"])
-            bstats[blk]["mean"] = _np(sd[f"{src}.conv.1.running_mean"])
-            bstats[blk]["var"] = _np(sd[f"{src}.conv.1.running_var"])
+        m.unit(edge_stage, i, src, cin)
 
     # ---- conv5 + bn5 (global feature) ----
-    densebn(["DenseBN_0"], "conv5", "bn5")
+    m.unit(m.densebn, ["DenseBN_0"], "conv5", "bn5")
 
     # ---- classifier ----
     c = ["Classifier_0"]
-    densebn(c + ["DenseBN_0"], "C.mlp1.fc.0", "C.mlp1.fc.1", linear=True)
-    densebn(c + ["DenseBN_1"], "C.mlp2.fc.0", "C.mlp2.fc.1", linear=True)
-    set_dense(c + ["Dense_0"], _linear_kernel(sd["C.mlp3.weight"]),
-              sd["C.mlp3.bias"])
+    m.unit(m.densebn, c + ["DenseBN_0"], "C.mlp1.fc.0", "C.mlp1.fc.1", True)
+    m.unit(m.densebn, c + ["DenseBN_1"], "C.mlp2.fc.0", "C.mlp2.fc.1", True)
+    m.unit(lambda: m.set_dense(
+        c + ["Dense_0"], _linear_kernel(m.src("C.mlp3.weight")),
+        m.src("C.mlp3.bias")))
 
     # ---- per-point heads ----
     for dst, src in (("DefRec", "DefRec"), ("NormPred", "Norm_pred"),
                      ("RecScan", "Rec_scan")):
-        for j in range(3):
-            densebn([dst, f"DenseBN_{j}"], f"{src}.conv{j+1}", f"{src}.bn{j+1}")
-        set_dense([dst, "Dense_0"], _conv_kernel(sd[f"{src}.conv4.weight"]))
+        if dst in m.params:
+            m.point_head(dst, src)
 
     # ---- density head ----
-    d = ["DensityCls"]
-    densebn(d + ["DenseBN_0"], "Density_cls.conv1", "Density_cls.bn1")
-    densebn(d + ["DenseBN_1"], "Density_cls.mlp1.fc.0", "Density_cls.mlp1.fc.1",
-            linear=True)
-    densebn(d + ["DenseBN_2"], "Density_cls.mlp2.fc.0", "Density_cls.mlp2.fc.1",
-            linear=True)
-    set_dense(d + ["Dense_0"], _linear_kernel(sd["Density_cls.mlp3.weight"]),
-              sd["Density_cls.mlp3.bias"])
-    # Frozen expectation layer: our DensityHead computes the expectation
-    # analytically with bins model.pergroup * i, so the checkpoint's bin
-    # width MUST match the pergroup the flax model was built with.
-    if "Density_cls.fc2.weight" in sd:
-        w = _np(sd["Density_cls.fc2.weight"]).reshape(-1)
-        ckpt_pergroup = float(w[1] - w[0]) if len(w) > 1 else pergroup
-        want = ckpt_pergroup * np.arange(len(w))
-        if not np.allclose(w, want, atol=1e-4):
-            raise ValueError("Density fc2 weights are not linear pergroup*i bins")
-        if abs(ckpt_pergroup - pergroup) > 1e-4:
-            raise ValueError(
-                f"checkpoint density bin width {ckpt_pergroup} != model "
-                f"pergroup {pergroup}; rebuild DGCNN(pergroup={ckpt_pergroup})"
-            )
+    if "DensityCls" in m.params:
+        m.density_head("DensityCls", "Density_cls", pergroup)
 
-    return {"params": params, "batch_stats": bstats}
+    return m.finish(strict)
 
 
 def _edge_block_name(params: dict, i: int) -> str:
@@ -180,6 +341,149 @@ def _edge_block_name(params: dict, i: int) -> str:
     raise KeyError(f"no EdgeConv block {i} in params")
 
 
+# ---------------------------------------------------------------------------
+# PointDA PointNet (`PointDA/Models.py:26-79`)
+# ---------------------------------------------------------------------------
+
+
+def import_pointnet(sd: dict, variables: dict, strict: bool = True) -> dict:
+    """Map a reference PointNet state_dict onto flax variables.
+
+    Reference structure (`PointDA/Models.py:26-79`): trans_net1 (3x3),
+    conv1/conv2 (64, 64), trans_net2 (64x64), conv3/conv4 (64, 128),
+    conv5 (1024), classifier C, DefRec head. PointNet-mode conv_2d /
+    fc_layer have bias=True and ReLU (`model_utils.py:44-86`).
+    """
+    m = _Mapper(sd, variables, "PointNet")
+
+    def tnet(dst: str, src: str):
+        m.unit(m.densebn, [dst, "DenseBN_0"], f"{src}.conv2d1.conv.0",
+               f"{src}.conv2d1.conv.1")
+        m.unit(m.densebn, [dst, "DenseBN_1"], f"{src}.conv2d2.conv.0",
+               f"{src}.conv2d2.conv.1")
+        m.unit(m.densebn, [dst, "DenseBN_2"], f"{src}.conv2d3.conv.0",
+               f"{src}.conv2d3.conv.1")
+        m.unit(m.densebn, [dst, "DenseBN_3"], f"{src}.fc1.fc.0",
+               f"{src}.fc1.fc.1", True)
+        m.unit(m.densebn, [dst, "DenseBN_4"], f"{src}.fc2.fc.0",
+               f"{src}.fc2.fc.1", True)
+        m.unit(lambda: m.set_dense(
+            [dst, "Dense_0"], _linear_kernel(m.src(f"{src}.fc3.weight")),
+            m.src(f"{src}.fc3.bias")))
+
+    tnet("TransformNet_0", "trans_net1")
+    tnet("trans_net2", "trans_net2")
+
+    # conv1..conv4 -> DenseBN_0..3; conv5 -> DenseBN_4 (models/pointnet.py)
+    for j, src in enumerate(["conv1", "conv2", "conv3", "conv4", "conv5"]):
+        m.unit(m.densebn, [f"DenseBN_{j}"], f"{src}.conv.0", f"{src}.conv.1")
+
+    c = ["Classifier_0"]
+    m.unit(m.densebn, c + ["DenseBN_0"], "C.mlp1.fc.0", "C.mlp1.fc.1", True)
+    m.unit(m.densebn, c + ["DenseBN_1"], "C.mlp2.fc.0", "C.mlp2.fc.1", True)
+    m.unit(lambda: m.set_dense(
+        c + ["Dense_0"], _linear_kernel(m.src("C.mlp3.weight")),
+        m.src("C.mlp3.bias")))
+
+    if "DefRec" in m.params:
+        m.point_head("DefRec", "DefRec")
+
+    return m.finish(strict)
+
+
+# ---------------------------------------------------------------------------
+# PointSegDA DGCNN_DefRec (`PointSegDA/Models.py:197-386`)
+# ---------------------------------------------------------------------------
+
+
+def import_dgcnn_seg(sd: dict, variables: dict, pergroup: float = 5.0,
+                     strict: bool = True) -> dict:
+    """Map a reference DGCNN_DefRec state_dict onto DGCNNSeg variables.
+
+    The seg model's `shared_layers` applies *linear* conv pairs to edge
+    features (`PointSegDA/Models.py:159-191`, no activation/BN between
+    them); our `LinearEdgeBlock` decomposes that into separate diff /
+    center chains (models/dgcnn_seg.py). For torch weights
+    conv_a = [W_d | W_c] (+b_a) on edge features and conv_b = V (+b_b):
+
+        edge value  = V (W_d (x_j - x_i) + W_c x_i + b_a) + b_b
+        diff chain  : w_diff0 = W_d,       w_diff1 = V      (no biases)
+        center chain: w_center0 = W_c + b_a, w_center1 = V + b_b
+
+    so that u_max - u + w == max_j [.] exactly (constants commute with
+    the per-channel max over j).
+    """
+    m = _Mapper(sd, variables, "DGCNN_DefRec")
+
+    # ---- transform net (conv+leakyrelu, NO BN — PointSegDA/Models.py:106-143)
+    tn = ["SegTransformNet_0"]
+    m.unit(lambda: m.set_dense(tn + ["Dense_0"], _conv_kernel(
+        m.src("input_transform_net.conv2d1.conv.0.weight"))))
+    m.unit(lambda: m.set_dense(tn + ["Dense_1"], _conv_kernel(
+        m.src("input_transform_net.conv2d2.conv.0.weight"))))
+    m.unit(lambda: m.set_dense(tn + ["Dense_2"], _conv_kernel(
+        m.src("input_transform_net.conv2d3.conv.0.weight"))))
+    m.unit(lambda: m.set_dense(tn + ["Dense_3"], _linear_kernel(
+        m.src("input_transform_net.fc1.fc.0.weight")),
+        m.src("input_transform_net.fc1.fc.0.bias")))
+    m.unit(lambda: m.set_dense(tn + ["Dense_4"], _linear_kernel(
+        m.src("input_transform_net.fc2.fc.0.weight")),
+        m.src("input_transform_net.fc2.fc.0.bias")))
+    m.unit(lambda: m.set_dense(tn + ["Dense_5"], _linear_kernel(
+        m.src("input_transform_net.fc3.weight")),
+        m.src("input_transform_net.fc3.bias")))
+
+    # ---- shared_layers: 3 linear edge blocks + conv6 ----
+    def double_block(blk: str, conv_a: str, conv_b: str, cin: int):
+        wa = _np(m.src(f"{conv_a}.weight"))
+        wa = wa.reshape(wa.shape[0], wa.shape[1])  # [out, 2*cin]
+        ba = m.src(f"{conv_a}.bias")
+        wb = _np(m.src(f"{conv_b}.weight"))
+        wb = wb.reshape(wb.shape[0], wb.shape[1])
+        bb = m.src(f"{conv_b}.bias")
+        m.set_dense([blk, "w_diff0"], wa[:, :cin].T)
+        m.set_dense([blk, "w_center0"], wa[:, cin:].T, ba)
+        m.set_dense([blk, "w_diff1"], wb.T)
+        m.set_dense([blk, "w_center1"], wb.T, bb)
+
+    def single_block(blk: str, conv_a: str, cin: int):
+        wa = _np(m.src(f"{conv_a}.weight"))
+        wa = wa.reshape(wa.shape[0], wa.shape[1])
+        ba = m.src(f"{conv_a}.bias")
+        m.set_dense([blk, "w_diff0"], wa[:, :cin].T)
+        m.set_dense([blk, "w_center0"], wa[:, cin:].T, ba)
+
+    m.unit(double_block, "LinearEdgeBlock_0", "shared_layers.conv1",
+           "shared_layers.conv2", 3)
+    m.unit(double_block, "LinearEdgeBlock_1", "shared_layers.conv3",
+           "shared_layers.conv4", 64)
+    m.unit(single_block, "LinearEdgeBlock_2", "shared_layers.conv5", 64)
+    m.unit(lambda: m.set_dense(
+        ["Dense_0"], _conv_kernel(m.src("shared_layers.conv6.weight")),
+        m.src("shared_layers.conv6.bias")))
+
+    # ---- heads ----
+    if "seg" in m.params:
+        m.point_head("seg", "seg", out_bias=True)
+    if "DefRec" in m.params:
+        m.point_head("DefRec", "DefRec", out_bias=True)
+    if "NormPred" in m.params:
+        m.point_head("NormPred", "Norm_pred")
+    if "DensityCls" in m.params:
+        m.density_head("DensityCls", "Density_cls", pergroup)
+
+    return m.finish(strict)
+
+
 def load_reference_dgcnn(path: str, variables: dict, pergroup: float = 2.0) -> dict:
     """Convenience: torch checkpoint file -> flax variables."""
     return import_dgcnn(load_torch_state_dict(path), variables, pergroup)
+
+
+def load_reference_pointnet(path: str, variables: dict) -> dict:
+    return import_pointnet(load_torch_state_dict(path), variables)
+
+
+def load_reference_dgcnn_seg(path: str, variables: dict,
+                             pergroup: float = 5.0) -> dict:
+    return import_dgcnn_seg(load_torch_state_dict(path), variables, pergroup)
