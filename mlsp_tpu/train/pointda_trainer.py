@@ -21,6 +21,7 @@ from mlsp_tpu.models import make_model
 from mlsp_tpu.train import steps
 from mlsp_tpu.train.state import create_train_state
 from mlsp_tpu.utils import checkpoint, metrics
+from mlsp_tpu.utils.average_meter import MeterDict
 from mlsp_tpu.utils.config import PointDAConfig
 from mlsp_tpu.utils.logging import IOStream
 
@@ -111,8 +112,7 @@ def train_pointda(cfg: PointDAConfig, io: IOStream | None = None, mesh=None):
         )
 
     for epoch in range(start_epoch, cfg.epochs):
-        sums: dict[str, float] = {}
-        count = 0
+        meters = MeterDict()
         src_iter = batches(src_train.data, src_train.label, cfg.batch_size,
                            indices=src_train.train_ind, shuffle=True,
                            drop_last=True, rng=rng)
@@ -131,31 +131,22 @@ def train_pointda(cfg: PointDAConfig, io: IOStream | None = None, mesh=None):
                 txs = jnp.asarray(np.stack([c[1][0] for c in chunk]))
                 key, k = jax.random.split(key)
                 state, ms = steps.pointda_train_scan(state, sxs, sys_, txs, k, cfg)
-                bs = cfg.batch_size
-                count += cfg.scan_steps * bs
-                for name, v in ms.items():
-                    sums[name] = sums.get(name, 0.0) + float(jnp.sum(v)) * bs
+                meters.update(jax.device_get(ms), n=cfg.batch_size)
             for (sx, sy), (tx, _) in pairs[full:]:  # tail: single steps
                 key, k = jax.random.split(key)
                 state, m = steps.pointda_train_step(
                     state, jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(tx), k, cfg
                 )
-                count += sx.shape[0]
-                for name, v in m.items():
-                    sums[name] = sums.get(name, 0.0) + float(v) * sx.shape[0]
+                meters.update(jax.device_get(m), n=sx.shape[0])
         else:
             for (sx, sy), (tx, _) in zip(src_iter, trgt_iter):
                 key, k = jax.random.split(key)
                 state, m = steps.pointda_train_step(
                     state, jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(tx), k, cfg
                 )
-                bs = sx.shape[0]
-                count += bs
-                for name, v in m.items():
-                    sums[name] = sums.get(name, 0.0) + float(v) * bs
+                meters.update(jax.device_get(m), n=sx.shape[0])
 
-        train_losses = {k_: v / max(count, 1) for k_, v in sums.items()}
-        io.print_progress("Source+Target", "Trn", epoch, train_losses)
+        io.print_progress("Source+Target", "Trn", epoch, meters.averages())
 
         src_val = evaluate(state, src_train.data, src_train.label,
                            cfg.test_batch_size, cfg.num_class, src_train.val_ind)

@@ -19,6 +19,7 @@ from mlsp_tpu.models import DGCNNSeg
 from mlsp_tpu.train import seg_steps
 from mlsp_tpu.train.state import create_train_state
 from mlsp_tpu.utils import checkpoint, metrics
+from mlsp_tpu.utils.average_meter import MeterDict
 from mlsp_tpu.utils.config import PointSegDAConfig
 from mlsp_tpu.utils.logging import IOStream
 
@@ -82,9 +83,7 @@ def train_pointsegda(cfg: PointSegDAConfig, io: IOStream | None = None):
     ckpt_path = os.path.join(io.path, "model.ckpt")
 
     for epoch in range(cfg.epochs):
-        sums: dict[str, float] = {}
-        count = 0
-        src_miou_sum = 0.0
+        meters = MeterDict()
         src_iter = batches(src_train.data, src_train.label, bsz,
                            shuffle=True, drop_last=True, rng=rng)
         trgt_iter = batches(trgt_train.data, trgt_train.label, bsz,
@@ -101,29 +100,23 @@ def train_pointsegda(cfg: PointSegDAConfig, io: IOStream | None = None):
             state, ms, (preds, mixed_y) = seg_steps.pointsegda_train_scan(
                 state, sxs, sys_, txs, k, cfg
             )
-            count += S * bsz
-            for name, v in ms.items():
-                sums[name] = sums.get(name, 0.0) + float(jnp.sum(v)) * bsz
+            meters.update(jax.device_get(ms), n=bsz)
             bm, _ = metrics.seg_metrics(
                 np.asarray(mixed_y).reshape(-1, mixed_y.shape[-1]),
                 np.asarray(preds).reshape(-1, preds.shape[-1]),
             )
-            src_miou_sum += bm
+            meters.update({"src_train_mIoU": bm / (S * bsz)}, n=S * bsz)
         for (sx, sy), (tx, _) in pairs[full:]:
             key, k = jax.random.split(key)
             state, m, (preds, mixed_y) = seg_steps.pointsegda_train_step(
                 state, jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(tx), k, cfg
             )
             bs = sx.shape[0]
-            count += bs
-            for name, v in m.items():
-                sums[name] = sums.get(name, 0.0) + float(v) * bs
+            meters.update(jax.device_get(m), n=bs)
             bm, _ = metrics.seg_metrics(np.asarray(mixed_y), np.asarray(preds))
-            src_miou_sum += bm
+            meters.update({"src_train_mIoU": bm / bs}, n=bs)
 
-        losses = {k_: v / max(count, 1) for k_, v in sums.items()}
-        losses["src_train_mIoU"] = src_miou_sum / max(count, 1)
-        io.print_progress("Source+Target", "Trn", epoch, losses)
+        io.print_progress("Source+Target", "Trn", epoch, meters.averages())
 
         src_val_loss, src_val_miou, src_val_acc = evaluate_seg(
             state, src_val.data, src_val.label, cfg.test_batch_size)

@@ -28,6 +28,7 @@ from mlsp_tpu.train.state import create_train_state
 from mlsp_tpu.train.steps import _apply, augment_batch, pcm_mix
 from mlsp_tpu.transforms.augment import random_rotate_one_axis
 from mlsp_tpu.utils import checkpoint
+from mlsp_tpu.utils.average_meter import MeterDict
 from mlsp_tpu.utils.config import SPSTConfig
 from mlsp_tpu.utils.logging import IOStream
 from mlsp_tpu.utils import metrics
@@ -184,7 +185,7 @@ def train_spst(cfg: SPSTConfig, io: IOStream | None = None, initial_state=None):
             continue
         for epoch in range(cfg.epochs):
             io.cprint(f"spl_weight: {spl_weight:.4f}, cls_weight: {cls_weight:.4f}")
-            sums, count = {}, 0
+            meters = MeterDict()
             t_iter = batches(pcs, plabels, cfg.batch_size, shuffle=True,
                              drop_last=True, rng=rng)
             s_iter = batches(src_train.data, src_train.label, cfg.batch_size,
@@ -204,9 +205,7 @@ def train_spst(cfg: SPSTConfig, io: IOStream | None = None, initial_state=None):
                     state, txs, tys, sxs, sys_,
                     jnp.float32(spl_weight), jnp.float32(cls_weight), k, cfg,
                 )
-                count += S * cfg.batch_size
-                for name, v in ms.items():
-                    sums[name] = sums.get(name, 0.0) + float(jnp.sum(v)) * cfg.batch_size
+                meters.update(jax.device_get(ms), n=cfg.batch_size)
             for (tx, ty), (sx, sy) in pairs[full:]:
                 key, k = jax.random.split(key)
                 state, m = spst_train_step(
@@ -214,14 +213,11 @@ def train_spst(cfg: SPSTConfig, io: IOStream | None = None, initial_state=None):
                     jnp.asarray(sx), jnp.asarray(sy),
                     jnp.float32(spl_weight), jnp.float32(cls_weight), k, cfg,
                 )
-                bs = tx.shape[0]
-                count += bs
-                for name, v in m.items():
-                    sums[name] = sums.get(name, 0.0) + float(v) * bs
+                meters.update(jax.device_get(m), n=tx.shape[0])
             spl_weight -= cfg.weight_decay_per_epoch
             cls_weight -= cfg.weight_decay_per_epoch
             io.print_progress("SPST", "Trn", rnd * cfg.epochs + epoch,
-                              {k_: v / max(count, 1) for k_, v in sums.items()})
+                              meters.averages())
 
             src_val = evaluate(state, src_train.data, src_train.label,
                                cfg.test_batch_size, cfg.num_class, src_train.val_ind)

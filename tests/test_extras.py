@@ -150,22 +150,28 @@ class TestConfigYaml:
 
 
 class TestMeters:
-    def test_average_meter(self):
-        from mlsp_tpu.utils.average_meter import AverageMeter
-
-        m = AverageMeter(2)
-        m.update([1.0, 2.0])
-        m.update([3.0, 4.0])
-        assert m.avg() == [2.0, 3.0]
-        assert m.val(1) == 4.0 and m.count(0) == 2
-
-    def test_scalar_meter(self):
+    def test_average_meter_weighted(self):
         from mlsp_tpu.utils.average_meter import AverageMeter
 
         m = AverageMeter()
-        m.update(2.0)
-        m.update(4.0)
-        assert m.avg() == 3.0
+        m.update(1.0, n=3)
+        m.update(5.0, n=1)
+        assert m.avg == 2.0  # (1*3 + 5*1) / 4
+        assert m.val == 5.0 and m.count == 4
+
+    def test_meter_dict_scan_metrics(self):
+        import numpy as np
+
+        from mlsp_tpu.utils.average_meter import MeterDict
+
+        md = MeterDict()
+        # [S]-stacked scan metrics: each step weighted by the batch size
+        md.update({"loss": np.array([1.0, 3.0])}, n=4)
+        md.update({"loss": 5.0, "acc": 0.5}, n=4)
+        avg = md.averages()
+        # loss: (1*4 + 3*4 + 5*4) / 12 = 3.0
+        assert avg["loss"] == 3.0 and avg["acc"] == 0.5
+        assert md["loss"].count == 12
 
 
 class TestProfiling:
