@@ -27,20 +27,30 @@ MAX_LOSS = 9e9
 
 
 def evaluate_seg(state, data, label, batch_size):
-    """Seg loss / mIoU / accuracy (averaged per sample, reference-style)."""
-    seg_loss = miou = acc = 0.0
-    n_total = 0
+    """Seg loss / mIoU / accuracy (averaged per sample, reference-style).
+
+    All batches (trailing one repetition-padded) are stacked and run as
+    one scanned device program (cf. `pointda_trainer.evaluate`).
+    """
+    stack_x, stack_y, counts = [], [], []
     for bx, by in batches(data, label, batch_size):
         bx, by, n = pad_batch(bx, by, batch_size)
-        logits = np.asarray(seg_steps.seg_eval_step(state, jnp.asarray(bx)))[:n]
-        by = by[:n]
+        stack_x.append(bx)
+        stack_y.append(by)
+        counts.append(n)
+    all_logits = np.asarray(
+        seg_steps.seg_eval_scan(state, jnp.asarray(np.stack(stack_x)))
+    )  # [S, B, N, C]
+    seg_loss = miou = acc = 0.0
+    for logits, by, n in zip(all_logits, stack_y, counts):
+        logits, by = logits[:n], by[:n]
         logp = metrics.log_softmax_np(logits)
         seg_loss += -np.take_along_axis(logp, by[..., None], -1).mean() * n
         preds = logits.argmax(-1)
         bm, ba = metrics.seg_metrics(by, preds)
         miou += bm
         acc += ba
-        n_total += n
+    n_total = float(np.sum(counts))
     return seg_loss / n_total, miou / n_total, acc / n_total
 
 

@@ -156,3 +156,23 @@ def _seg_eval_forward(apply_fn, params, bstats, x):
 
 def seg_eval_step(state, x):
     return _seg_eval_forward(state.apply_fn, state.params, state.batch_stats, x)
+
+
+@partial(jax.jit, static_argnames=("apply_fn",))
+def _seg_eval_forward_scan(apply_fn, params, bstats, xs):
+    def body(_, x):
+        out = apply_fn(
+            {"params": params, "batch_stats": bstats}, x, train=False,
+            heads=("seg",),
+        )
+        return (), out["seg"]
+
+    _, logits = jax.lax.scan(body, (), xs)
+    return logits
+
+
+def seg_eval_scan(state, xs):
+    """Scanned seg eval: xs [S, B, N, 3] -> logits [S, B, N, C] in ONE
+    device program (cf. `steps.eval_scan`)."""
+    return _seg_eval_forward_scan(state.apply_fn, state.params,
+                                  state.batch_stats, xs)

@@ -101,22 +101,31 @@ def select_pseudo_labels(state, data, label, indices, batch_size, threshold,
     """
     from mlsp_tpu.data.pipeline import pad_batch
 
-    pcs, plabels, tlabels = [], [], []
+    # Stack all padded batches and run the selection forward as ONE
+    # scanned device program (cf. pointda_trainer.evaluate).
+    stack_x, raw = [], []
     for bx, by in batches(data, label, batch_size, indices=indices):
         bx_p, _, n = pad_batch(bx, by, batch_size)
-        logits = np.asarray(steps.eval_step(state, jnp.asarray(bx_p)))[:n]
-        conf = metrics.softmax_np(logits)
-        pred = conf.argmax(-1)
-        if use_entropy:
-            # entropy of softmax(softmax(logits)) — the reference's
-            # double-softmax quirk (train_spst.py:258)
-            ent = -(conf * metrics.log_softmax_np(conf)).sum(-1)
-            keep = ent < threshold
-        else:
-            keep = conf.max(-1) > threshold
-        pcs.append(bx[keep])
-        plabels.append(pred[keep])
-        tlabels.append(by[keep])
+        stack_x.append(bx_p)
+        raw.append((bx, by, n))
+    pcs, plabels, tlabels = [], [], []
+    if stack_x:
+        all_logits = np.asarray(
+            steps.eval_scan(state, jnp.asarray(np.stack(stack_x)))
+        )  # [S, B, C]
+        for logits, (bx, by, n) in zip(all_logits, raw):
+            conf = metrics.softmax_np(logits[:n])
+            pred = conf.argmax(-1)
+            if use_entropy:
+                # entropy of softmax(softmax(logits)) — the reference's
+                # double-softmax quirk (train_spst.py:258)
+                ent = -(conf * metrics.log_softmax_np(conf)).sum(-1)
+                keep = ent < threshold
+            else:
+                keep = conf.max(-1) > threshold
+            pcs.append(bx[keep])
+            plabels.append(pred[keep])
+            tlabels.append(by[keep])
     pcs = np.concatenate(pcs) if pcs else np.zeros((0,) + data.shape[1:], data.dtype)
     plabels = np.concatenate(plabels) if plabels else np.zeros((0,), np.int64)
     tlabels = np.concatenate(tlabels) if tlabels else np.zeros((0,), np.int64)
