@@ -84,6 +84,35 @@ class TestSPST:
         assert "final" in results
         assert (tmp_path / "spst" / "finetune_convergence.json").exists()
 
+    def test_spst_improves_target_accuracy(self, tmp_path):
+        """Efficacy, not just plumbing: starting from a briefly source-
+        pretrained model, SPST pseudo-label fine-tuning must lift target
+        test accuracy over the initial (the reference tracks exactly this,
+        `train_spst.py:524-539`)."""
+        from mlsp_tpu.train import train_pointda, train_spst
+        from mlsp_tpu.utils.config import PointDAConfig
+
+        common = dict(
+            synthetic=True, out_path=str(tmp_path),
+            src_dataset="modelnet", trgt_dataset="scannet",
+            batch_size=16, num_points=64, test_batch_size=16, scan_steps=8,
+            model="pointnet", seed=1,
+        )
+        pre_cfg = PointDAConfig(exp_name="pre", epochs=4, apply_PCM=False,
+                                **common)
+        pre_state, _ = train_pointda(pre_cfg)
+
+        cfg = SPSTConfig(
+            exp_name="spst_ab", epochs=2, rounds=2, model_file="",
+            threshold=10.0,  # generous entropy gate: select broadly
+            **common,
+        )
+        _, results = train_spst(cfg, initial_state=pre_state)
+        assert results["final"]["acc"] > results["initial"]["acc"], (
+            f"SPST did not improve target accuracy: "
+            f"{results['initial']['acc']:.4f} -> {results['final']['acc']:.4f}"
+        )
+
     def test_selection_thresholds(self):
         """Entropy gate keeps only confident samples."""
         from mlsp_tpu.train.spst import select_pseudo_labels
