@@ -10,7 +10,11 @@ same flag names (`PointDA/trainer.py:44-99`, `train_spst.py:56-100`,
     python -m mlsp_tpu.cli seg --src_dataset adobe --trgt_dataset faust
 
 Every dataclass field is exposed automatically; booleans accept
-true/false/1/0/yes/no like the reference's str2bool.
+true/false/1/0/yes/no like the reference's str2bool. `--config FILE`
+(YAML, `_base_` inheritance) composes with flags: precedence is
+dataclass defaults < YAML < explicitly-passed flags, so
+`--config configs/pointda/modelnet2scannet.yaml --epochs 3` runs the
+recipe with 3 epochs (the reference's train.sh override UX).
 """
 
 from __future__ import annotations
@@ -18,6 +22,10 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import sys
+
+# Sentinel default: flag absent from the command line. Must NOT be a
+# str — argparse runs `type` conversion on string defaults.
+_UNSET = object()
 
 
 def _str2bool(v: str) -> bool:
@@ -34,18 +42,28 @@ def _add_config_args(parser: argparse.ArgumentParser, cls) -> None:
     for f in dataclasses.fields(cls):
         arg = f"--{f.name}"
         if f.type in ("bool", bool):
-            parser.add_argument(arg, type=_str2bool, default=f.default)
+            parser.add_argument(arg, type=_str2bool, default=_UNSET)
         elif f.type in ("int", int):
-            parser.add_argument(arg, type=int, default=f.default)
+            parser.add_argument(arg, type=int, default=_UNSET)
         elif f.type in ("float", float):
-            parser.add_argument(arg, type=float, default=f.default)
+            parser.add_argument(arg, type=float, default=_UNSET)
         else:
-            parser.add_argument(arg, type=str, default=f.default)
+            parser.add_argument(arg, type=str, default=_UNSET)
+    parser.add_argument("--config", type=str, default="",
+                        help="YAML config (supports _base_ inheritance); "
+                             "explicitly-passed flags override its values")
 
 
 def _to_config(cls, args: argparse.Namespace):
+    """defaults < YAML (--config) < explicit flags."""
+    from mlsp_tpu.utils.config import from_dict, load_yaml_dict
+
     names = {f.name for f in dataclasses.fields(cls)}
-    return cls(**{k: v for k, v in vars(args).items() if k in names})
+    merged = load_yaml_dict(args.config) if getattr(args, "config", "") else {}
+    for k, v in vars(args).items():
+        if k in names and v is not _UNSET:
+            merged[k] = v
+    return from_dict(cls, merged)
 
 
 def main(argv=None) -> int:
@@ -61,9 +79,6 @@ def main(argv=None) -> int:
     _add_config_args(p_train, PointDAConfig)
     p_train.add_argument("--paper_recipe", type=_str2bool, default=False,
                          help="apply the train.sh headline flag set")
-    p_train.add_argument("--config", type=str, default="",
-                         help="YAML config (supports _base_ inheritance); "
-                              "explicit flags are not merged on top")
 
     p_spst = sub.add_parser("spst", help="SPST pseudo-label self-training")
     _add_config_args(p_spst, SPSTConfig)
@@ -86,12 +101,7 @@ def main(argv=None) -> int:
     if args.command == "trainer":
         from mlsp_tpu.train.pointda_trainer import train_pointda
 
-        if getattr(args, "config", ""):
-            from mlsp_tpu.utils.config import load_yaml
-
-            cfg = load_yaml(PointDAConfig, args.config)
-        else:
-            cfg = _to_config(PointDAConfig, args)
+        cfg = _to_config(PointDAConfig, args)
         if args.paper_recipe:
             cfg = cfg.paper_recipe
         train_pointda(cfg)

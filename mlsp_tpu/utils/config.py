@@ -221,5 +221,10 @@ def _load_yaml_dict(path: str) -> dict:
     return cfg
 
 
+def load_yaml_dict(path: str) -> dict:
+    """Public `_base_`-resolving YAML loader (used by the CLI merge)."""
+    return _load_yaml_dict(path)
+
+
 def load_yaml(cls, path: str):
     return from_dict(cls, _load_yaml_dict(path))

@@ -148,6 +148,54 @@ class TestConfigYaml:
         )
         assert cfg.Density_normal_viainput and cfg.epochs == 150
 
+    def test_every_shipped_config_loads(self):
+        """All 6 PointDA + 12 PointSegDA per-pair recipes, the SPST stage,
+        and the model-variant configs parse into their dataclasses."""
+        import glob
+
+        from mlsp_tpu.utils.config import (
+            PointDAConfig, PointSegDAConfig, SPSTConfig, load_yaml,
+        )
+
+        root = os.path.join(os.path.dirname(__file__), "..", "configs")
+        pairs = glob.glob(os.path.join(root, "pointda", "*.yaml"))
+        assert len(pairs) == 6
+        for p in pairs:
+            cfg = load_yaml(PointDAConfig, p).resolved()
+            assert cfg.src_dataset != cfg.trgt_dataset
+            assert cfg.Density_normal_viainput  # paper recipe inherited
+        seg_pairs = glob.glob(os.path.join(root, "pointsegda", "*.yaml"))
+        assert len(seg_pairs) == 12
+        for p in seg_pairs:
+            cfg = load_yaml(PointSegDAConfig, p).resolved()
+            assert cfg.src_dataset != cfg.trgt_dataset
+            assert cfg.Density_normal_viainput and not cfg.DefRec_on_trgt
+        spst = load_yaml(SPSTConfig, os.path.join(root, "spst_paper.yaml"))
+        assert spst.rounds == 2 and spst.epochs == 20
+        for name, model in [("pointda_pointtransformer.yaml", "point_transformer"),
+                            ("pointda_hengshuang.yaml", "hengshuang")]:
+            assert load_yaml(PointDAConfig, os.path.join(root, name)).model == model
+
+    def test_cli_flags_override_yaml(self):
+        """--config + explicit flags compose: defaults < YAML < flags."""
+        import argparse
+
+        from mlsp_tpu import cli
+        from mlsp_tpu.utils.config import PointDAConfig
+
+        p = argparse.ArgumentParser()
+        cli._add_config_args(p, PointDAConfig)
+        path = os.path.join(os.path.dirname(__file__), "..", "configs",
+                            "pointda", "modelnet2scannet.yaml")
+        args = p.parse_args(["--config", path, "--epochs", "3",
+                             "--Density_ondef", "false"])
+        cfg = cli._to_config(PointDAConfig, args)
+        assert cfg.epochs == 3  # flag overrides YAML's inherited 150
+        assert not cfg.Density_ondef  # flag overrides YAML's true
+        assert cfg.src_dataset == "modelnet" and cfg.trgt_dataset == "scannet"
+        assert cfg.Density_normal_viainput  # YAML overrides default false
+        assert cfg.batch_size == 32  # untouched default passes through
+
 
 class TestMeters:
     def test_average_meter_weighted(self):
