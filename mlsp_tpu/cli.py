@@ -79,6 +79,12 @@ def main(argv=None) -> int:
     _add_config_args(p_train, PointDAConfig)
     p_train.add_argument("--paper_recipe", type=_str2bool, default=False,
                          help="apply the train.sh headline flag set")
+    p_train.add_argument("--mesh_data", type=int, default=0,
+                         help="data-parallel mesh axis size (0 = no mesh; "
+                              "replaces the reference's nn.DataParallel)")
+    p_train.add_argument("--mesh_points", type=int, default=1,
+                         help="points-sharding mesh axis size (shards the "
+                              "O(N^2) distance intermediates)")
 
     p_spst = sub.add_parser("spst", help="SPST pseudo-label self-training")
     _add_config_args(p_spst, SPSTConfig)
@@ -104,7 +110,13 @@ def main(argv=None) -> int:
         cfg = _to_config(PointDAConfig, args)
         if args.paper_recipe:
             cfg = cfg.paper_recipe
-        train_pointda(cfg)
+        mesh = None
+        if args.mesh_data or args.mesh_points > 1:
+            from mlsp_tpu.parallel import make_mesh
+
+            mesh = make_mesh(data=args.mesh_data or None,
+                             points=args.mesh_points)
+        train_pointda(cfg, mesh=mesh)
     elif args.command == "spst":
         from mlsp_tpu.train.spst import train_spst
 

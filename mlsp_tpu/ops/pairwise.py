@@ -41,7 +41,16 @@ def pairwise_sqdist(x: jax.Array, y: jax.Array) -> jax.Array:
     xx = jnp.sum(jnp.square(x), axis=-1, keepdims=True)  # [..., N, 1]
     yy = jnp.sum(jnp.square(y), axis=-1, keepdims=True)  # [..., M, 1]
     d = xx - 2.0 * inner + jnp.swapaxes(yy, -1, -2)
-    return jnp.maximum(d, 0.0)
+    d = jnp.maximum(d, 0.0)
+    # Points-axis sharding: when a (data, points) mesh is active (see
+    # `parallel.mesh.points_sharding`), constrain the [B, N, M] distance
+    # matrix — the dominant O(N^2) intermediate — so XLA partitions it
+    # (and its producers/consumers) over the points axis.
+    if d.ndim == 3:
+        from mlsp_tpu.parallel.mesh import active_points_mesh, shard_points_constraint
+
+        d = shard_points_constraint(d, active_points_mesh())
+    return d
 
 
 def self_sqdist(x: jax.Array) -> jax.Array:

@@ -1,15 +1,23 @@
 from mlsp_tpu.parallel.mesh import (
     make_mesh,
     shard_batch,
+    shard_scan_batch,
     replicate,
     batch_sharding,
     replicated_sharding,
+    points_sharding,
+    active_points_mesh,
+    shard_points_constraint,
 )
 
 __all__ = [
     "make_mesh",
     "shard_batch",
+    "shard_scan_batch",
     "replicate",
     "batch_sharding",
     "replicated_sharding",
+    "points_sharding",
+    "active_points_mesh",
+    "shard_points_constraint",
 ]

@@ -66,3 +66,52 @@ def shard_points_constraint(x, mesh: Mesh | None):
         return x
     spec = P("data", "points", *([None] * (x.ndim - 2)))
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+# ---------------------------------------------------------------------------
+# Points-axis ("sequence parallel" for point clouds) activation context.
+#
+# The O(N^2) distance matrices are produced in ONE place
+# (`ops.pairwise.pairwise_sqdist` — kNN graphs, Chamfer, radius density,
+# ball query all go through it), so the constraint is applied there.
+# Because sharding constraints must be present at TRACE time, activate
+# the context around the first call of each jitted step; the trainers do
+# this around their whole epoch loop.
+# ---------------------------------------------------------------------------
+
+_ACTIVE_POINTS_MESH: Mesh | None = None
+
+
+class points_sharding:
+    """Context manager: ops traced inside constrain their [B, N, N]
+    distance intermediates to P("data", "points") over `mesh`.
+
+    No-op when `mesh` is None or has a trivial points axis. Must wrap
+    the *first* (tracing) call of a jitted step to take effect — jit
+    reuses the traced program afterwards.
+    """
+
+    def __init__(self, mesh: Mesh | None):
+        active = mesh is not None and mesh.shape.get("points", 1) > 1
+        self.mesh = mesh if active else None
+
+    def __enter__(self):
+        global _ACTIVE_POINTS_MESH
+        self._prev = _ACTIVE_POINTS_MESH
+        _ACTIVE_POINTS_MESH = self.mesh
+        return self.mesh
+
+    def __exit__(self, *exc):
+        global _ACTIVE_POINTS_MESH
+        _ACTIVE_POINTS_MESH = self._prev
+        return False
+
+
+def active_points_mesh() -> Mesh | None:
+    return _ACTIVE_POINTS_MESH
+
+
+def shard_scan_batch(mesh: Mesh, tree):
+    """Device-put [S, B, ...] scan-staged leaves with B split over `data`."""
+    s = NamedSharding(mesh, P(None, "data"))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)

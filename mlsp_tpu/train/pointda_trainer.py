@@ -60,7 +60,18 @@ def evaluate(state, data, label, batch_size, num_classes, indices=None):
 
 
 def train_pointda(cfg: PointDAConfig, io: IOStream | None = None, mesh=None):
-    """Run the full DA training; returns (best_state, results dict)."""
+    """Run the full DA training; returns (best_state, results dict).
+
+    With `mesh` (a `parallel.make_mesh` result): parameters/optimizer
+    state are replicated, every batch is sharded over the `data` axis
+    (XLA all-reduces the gradients over ICI), and — if the mesh has a
+    points axis > 1 — the O(N^2) distance intermediates are additionally
+    partitioned over `points` (see `parallel.points_sharding`).
+    """
+    from mlsp_tpu.parallel import (
+        points_sharding, replicate, shard_batch, shard_scan_batch,
+    )
+
     cfg = cfg.resolved()
     io = io or IOStream(cfg.out_path, cfg.exp_name)
     io.cprint(str(cfg))
@@ -109,6 +120,15 @@ def train_pointda(cfg: PointDAConfig, io: IOStream | None = None, mesh=None):
         epochs=cfg.epochs, steps_per_epoch=steps_per_epoch, heads=all_heads,
     )
 
+    if mesh is not None:
+        n_data = mesh.shape["data"]
+        if cfg.batch_size % n_data:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by the mesh "
+                f"data axis ({n_data} devices)"
+            )
+        state = replicate(mesh, state)
+
     best = {"src_val_acc": 0.0, "epoch": -1, "state": state}
     ckpt_path = os.path.join(io.path, "model.ckpt")
 
@@ -140,25 +160,43 @@ def train_pointda(cfg: PointDAConfig, io: IOStream | None = None, mesh=None):
             full = (len(pairs) // cfg.scan_steps) * cfg.scan_steps
             for s in range(0, full, cfg.scan_steps):
                 chunk = pairs[s : s + cfg.scan_steps]
-                sxs = jnp.asarray(np.stack([c[0][0] for c in chunk]))
-                sys_ = jnp.asarray(np.stack([c[0][1] for c in chunk]))
-                txs = jnp.asarray(np.stack([c[1][0] for c in chunk]))
+                batch = (
+                    np.stack([c[0][0] for c in chunk]),
+                    np.stack([c[0][1] for c in chunk]),
+                    np.stack([c[1][0] for c in chunk]),
+                )
+                sxs, sys_, txs = (
+                    shard_scan_batch(mesh, batch) if mesh is not None
+                    else jax.tree_util.tree_map(jnp.asarray, batch)
+                )
                 key, k = jax.random.split(key)
-                state, ms = steps.pointda_train_scan(state, sxs, sys_, txs, k, cfg)
+                with points_sharding(mesh):
+                    state, ms = steps.pointda_train_scan(
+                        state, sxs, sys_, txs, k, cfg
+                    )
                 meters.update(jax.device_get(ms), n=cfg.batch_size)
             for (sx, sy), (tx, _) in pairs[full:]:  # tail: single steps
-                key, k = jax.random.split(key)
-                state, m = steps.pointda_train_step(
-                    state, jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(tx), k, cfg
+                batch = (sx, sy, tx)
+                sx, sy, tx = (
+                    shard_batch(mesh, batch) if mesh is not None
+                    else jax.tree_util.tree_map(jnp.asarray, batch)
                 )
-                meters.update(jax.device_get(m), n=sx.shape[0])
+                key, k = jax.random.split(key)
+                with points_sharding(mesh):
+                    state, m = steps.pointda_train_step(state, sx, sy, tx, k, cfg)
+                meters.update(jax.device_get(m), n=batch[0].shape[0])
         else:
             for (sx, sy), (tx, _) in zip(src_iter, trgt_iter):
-                key, k = jax.random.split(key)
-                state, m = steps.pointda_train_step(
-                    state, jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(tx), k, cfg
+                n = sx.shape[0]
+                batch = (sx, sy, tx)
+                sx, sy, tx = (
+                    shard_batch(mesh, batch) if mesh is not None
+                    else jax.tree_util.tree_map(jnp.asarray, batch)
                 )
-                meters.update(jax.device_get(m), n=sx.shape[0])
+                key, k = jax.random.split(key)
+                with points_sharding(mesh):
+                    state, m = steps.pointda_train_step(state, sx, sy, tx, k, cfg)
+                meters.update(jax.device_get(m), n=n)
 
         io.print_progress("Source+Target", "Trn", epoch, meters.averages())
 

@@ -78,6 +78,89 @@ def test_points_axis_sharding():
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def test_points_axis_full_step_numerics():
+    """The REAL MLSP step traced under `points_sharding` on a 2x4
+    (data x points) mesh: the O(N^2) intermediates inside kNN/density get
+    the points constraint (via `ops.pairwise`), and loss + grads match
+    the single-device step."""
+    from mlsp_tpu.models import DGCNN
+    from mlsp_tpu.parallel import make_mesh, points_sharding, replicate, shard_batch
+    from mlsp_tpu.train import create_train_state, steps
+    from mlsp_tpu.utils.config import PointDAConfig
+
+    mesh = make_mesh(data=2, points=4)
+    B, N = 4, 32
+    cfg = PointDAConfig(
+        batch_size=B, num_points=N, synthetic=True, radius=0.3,
+        Density_normal_viainput=True, Normal_ondef=True, Density_ondef=True,
+    )
+    model = DGCNN(num_classes=10, k=8)
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((B, N, 3), jnp.float32),
+        epochs=1, steps_per_epoch=2,
+        heads=("defrec", "normal", "scan", "density"),
+    )
+    rng = np.random.default_rng(0)
+    sx = rng.standard_normal((B, N, 3)).astype(np.float32)
+    sy = rng.integers(0, 10, B).astype(np.int64)
+    tx = rng.standard_normal((B, N, 3)).astype(np.float32)
+    key = jax.random.key(1)
+
+    def fn(s, a, b, c, k):
+        grads, m, _ = steps._pointda_grads_inner(s, a, b, c, k, cfg)
+        return grads, m["total"]
+
+    # x64: same rationale as __graft_entry__.dryrun_multichip — in pure
+    # f32 cross-shard reduction-order noise flips ties in DGCNN's
+    # feature-space kNN graph, making grads discontinuous.
+    with jax.enable_x64():
+        with points_sharding(mesh):
+            # separate jit instance: the constraint must be in THIS trace
+            g8, t8 = jax.jit(fn)(
+                replicate(mesh, state), *shard_batch(mesh, (sx, sy, tx)), key
+            )
+        g1, t1 = jax.jit(fn)(state, sx, sy, tx, key)
+    t1, t8 = float(t1), float(t8)
+    assert abs(t8 - t1) <= 1e-5 * max(1.0, abs(t1)), (t8, t1)
+    # Criterion mirrors __graft_entry__.dryrun_multichip: the distance
+    # matmul pins f32 (preferred_element_type), so resharding-induced
+    # reduction-order noise can still flip kNN/radius ties on ~0.05% of
+    # entries; a real sharding bug (dropped collective, per-shard batch
+    # stats) moves whole leaves by O(1) — per-leaf + global relative
+    # Frobenius norms catch that while tolerating tie-flip noise.
+    sq_diff = sq_ref = 0.0
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g8)):
+        a, b = np.asarray(a), np.asarray(b)
+        d2, r2 = float(np.sum((a - b) ** 2)), float(np.sum(a**2))
+        # absolute floor: pre-BN bias grads are ~1e-7 (BN cancels them),
+        # so their relative norm is meaningless noise-over-noise
+        assert d2**0.5 < max(0.1 * r2**0.5, 1e-4), (
+            f"leaf grad diff {d2**0.5:.2e} vs norm {r2**0.5:.2e}"
+        )
+        sq_diff += d2
+        sq_ref += r2
+    ratio = (sq_diff / max(sq_ref, 1e-24)) ** 0.5
+    assert ratio < 2e-2, f"global grad rel-norm diff {ratio:.2e}"
+
+
+def test_train_pointda_under_mesh(tmp_path):
+    """Trainer-level mesh wiring: replicate params, shard every batch,
+    run a full epoch + eval + checkpoint under the mesh."""
+    from mlsp_tpu.parallel import make_mesh
+    from mlsp_tpu.train import train_pointda
+    from mlsp_tpu.utils.config import PointDAConfig
+
+    mesh = make_mesh(data=4, points=2)
+    cfg = PointDAConfig(
+        model="pointnet", synthetic=True, epochs=1, batch_size=8,
+        num_points=64, test_batch_size=8, apply_PCM=False, scan_steps=4,
+        out_path=str(tmp_path), exp_name="mesh_run",
+    )
+    state, results = train_pointda(cfg, mesh=mesh)
+    assert 0.0 <= results["test"]["acc"] <= 1.0
+    assert results["best"]["epoch"] >= 0
+
+
 def test_scan_step_sharded_matches_serial_shapes():
     """The scanned multi-step train program runs under a dp mesh."""
     from mlsp_tpu.models import PointNet
