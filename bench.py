@@ -1,10 +1,12 @@
-"""Headline benchmark: full MLSP train-step throughput on one TPU chip.
+"""Headline benchmark: full MLSP train-step throughput on one TPU chip,
+with a measured roofline account of where the time goes.
 
 Workload (BASELINE.md): DGCNN k=20, 1024 points, batch 32, the full
 paper recipe — PCM mixup (on-device FPS), DefRec deformation, on-device
 normal + cardinality ground-truth generation, all SSL heads, one
-optimizer update per iteration. bf16 matmul compute, f32 params,
-fused Pallas kNN.
+optimizer update per iteration. Default compute dtype is f32 (full bf16
+measurably degrades DGCNN convergence — CLAUDE.md); set MLSP_BENCH_HEAD_BF16=1
+to run the per-point heads in bf16 (no kNN-graph dependency there).
 
 Measurement protocol: S train steps are executed as ONE device program
 (`lax.scan`) and timed with a forced value fetch at the end. Through the
@@ -13,16 +15,29 @@ calls returns before execution finishes, so naive per-step timing
 under-reports by orders of magnitude; the scan+fetch protocol measures
 true device throughput.
 
+Roofline: the JSON line also reports
+  * flops_per_step        — XLA cost analysis of the compiled program,
+  * matmul_tflops_f32     — achieved big-matmul throughput (microbench),
+  * gather_GBps           — achieved kNN-style gather bandwidth,
+  * scatter_GBps          — achieved scatter-add (gather backward) bw,
+  * t_flops_bound_ms      — flops / achieved matmul throughput,
+  * t_gather_bound_ms     — the step's analytic gather+scatter bytes at
+                            the achieved gather/scatter bandwidths,
+  * roofline_frac         — max(bound) / measured step time: how close
+                            the program is to the binding resource limit
+                            on THIS chip (round-2 measured: ~9.7 TFLOPS
+                            matmul with f32 at bf16 rate, ~46 GB/s
+                            gather, ~140 GB/s scatter/stream).
+
 Baseline for `vs_baseline`: the repo publishes no numbers (BASELINE.md);
 the north star is 5x a V100-era PyTorch estimate of 640 clouds/sec, i.e.
-3200 clouds/sec/chip on production silicon. Note the chip behind this
-tunnel measures ~1.9 TFLOPS bf16 (~1% of a physical v5e), so absolute
-numbers here are floor estimates.
+3200 clouds/sec/chip on production silicon.
 
 Prints exactly one JSON line.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -31,6 +46,91 @@ import numpy as np
 
 V100_ESTIMATE_CLOUDS_PER_SEC = 640.0
 TARGET = 5.0 * V100_ESTIMATE_CLOUDS_PER_SEC
+
+
+def _timed(fn, *args, trials=3):
+    """Best wall time of `fn(*args)` ending in a forced value fetch."""
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        float(out)  # forced fetch = true completion through the relay
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def measure_matmul_tflops(dtype, M=2048, S=16) -> float:
+    """Achieved dense-matmul throughput via a scanned chain."""
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((M, M)), dtype)
+    w = jnp.asarray(np.random.default_rng(1).standard_normal((M, M)), dtype)
+
+    @jax.jit
+    def run(x, w):
+        def body(c, _):
+            c = jnp.dot(c, w, preferred_element_type=c.dtype)
+            c = c / jnp.float32(M).astype(c.dtype)  # keep magnitudes sane
+            return c, ()
+
+        c, _ = jax.lax.scan(body, x, (), length=S)
+        return jnp.sum(c.astype(jnp.float32))
+
+    _timed(run, x, w, trials=1)  # compile + warm
+    dt = _timed(run, x, w)
+    return S * 2 * M**3 / dt / 1e12
+
+
+def measure_gather_scatter_gbps(B=32, N=1024, k=20, C=128, S=16):
+    """Achieved bandwidth of the kNN neighbour gather and its transpose
+    (scatter-add), the EdgeConv hot loop's memory pattern."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, N, (B, N, k)), jnp.int32)
+    bytes_moved = B * N * k * C * 4  # gathered neighbour bytes per pass
+
+    from mlsp_tpu.ops.knn import knn_gather
+
+    @jax.jit
+    def fwd(x, idx):
+        def body(c, _):
+            g = knn_gather(x + c, idx)  # [B, N, k, C]
+            return jnp.max(g) * 1e-9, ()
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), (), length=S)
+        return c
+
+    grad_inner = jax.grad(lambda x, idx: jnp.sum(knn_gather(x, idx)))
+
+    @jax.jit
+    def bwd(x, idx):
+        def body(c, _):
+            g = grad_inner(x + c, idx)  # scatter-add back to [B, N, C]
+            return jnp.max(g) * 1e-9, ()
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), (), length=S)
+        return c
+
+    _timed(fwd, x, idx, trials=1)
+    gather = S * bytes_moved / _timed(fwd, x, idx) / 1e9
+    _timed(bwd, x, idx, trials=1)
+    scatter = S * bytes_moved / _timed(bwd, x, idx) / 1e9
+    return gather, scatter
+
+
+def step_gather_bytes(B, N, k, near, itemsize=4):
+    """Analytic gather/scatter byte count of one paper-recipe train step.
+
+    Differentiated DGCNN forwards per step: 2 (PCM-mixed classification
+    + deformed multi-head). Each gathers raw coords for the transform-
+    net edge features (C=3) and one neighbour pass per EdgeConvM layer
+    (C = 64, 64, 128, 256). Backward scatter-adds the same bytes.
+    estimate_normals adds one non-differentiated C=3 gather of `near`
+    neighbours. kNN top_k reads stream (not gather) — excluded here.
+    """
+    edge_Cs = [3, 64, 64, 128, 256]
+    fwd = 2 * sum(B * N * k * C * itemsize for C in edge_Cs)
+    fwd += B * N * near * 3 * itemsize  # estimate_normals
+    bwd = 2 * sum(B * N * k * C * itemsize for C in edge_Cs)
+    return fwd, bwd
 
 
 def main() -> None:
@@ -47,8 +147,12 @@ def main() -> None:
         Density_normal_viainput=True, Normal_ondef=True, Density_ondef=True,
         radius=0.135,
     )
-    model = DGCNN(num_classes=10, k=20, knn_backend="auto")  # f32: bf16 is
-    # ~13% faster on this chip but demonstrably degrades convergence
+    head_bf16 = os.environ.get("MLSP_BENCH_HEAD_BF16", "") == "1"
+    model = DGCNN(
+        num_classes=10, k=20, knn_backend="auto",
+        head_dtype=jnp.bfloat16 if head_bf16 else None,
+    )  # backbone f32: full bf16 degrades convergence (kNN graphs from
+    # rounded features); per-point heads have no graph dependency.
     sample = jnp.zeros((B, N, 3), jnp.float32)
     state = create_train_state(
         model, jax.random.key(0), sample, epochs=150, steps_per_epoch=100,
@@ -61,7 +165,14 @@ def main() -> None:
     txs = jnp.asarray(rng.standard_normal((S, B, N, 3)), jnp.float32)
     key = jax.random.key(1)
 
-    # Compile + warm.
+    # XLA flop count of ONE train step. NB: cost_analysis counts a scan
+    # body once (not x trip-count), so lower the single-step program.
+    ca = steps.pointda_train_step.lower(
+        state, sxs[0], sys_[0], txs[0], key, cfg
+    ).compile().cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else (ca or {})
+    flops_per_step = float(ca.get("flops", 0.0))
+
     state, ms = steps.pointda_train_scan(state, sxs, sys_, txs, key, cfg)
     float(ms["total"][-1])
 
@@ -73,14 +184,38 @@ def main() -> None:
         )
         float(ms["total"][-1])  # forced fetch = true completion
         best_dt = min(best_dt, time.perf_counter() - t0)
+    t_step = best_dt / S
 
+    # Roofline context: achieved primitive peaks on this chip, now.
+    tflops_f32 = measure_matmul_tflops(jnp.float32)
+    tflops_bf16 = measure_matmul_tflops(jnp.bfloat16)
+    gather_gbps, scatter_gbps = measure_gather_scatter_gbps(B=B, N=N, k=20)
 
-    clouds_per_sec = S * B / best_dt
+    fwd_bytes, bwd_bytes = step_gather_bytes(B, N, k=20, near=cfg.near)
+    t_gather_bound = fwd_bytes / (gather_gbps * 1e9) + bwd_bytes / (
+        scatter_gbps * 1e9
+    )
+    matmul_peak = tflops_bf16 if head_bf16 else tflops_f32
+    t_flops_bound = flops_per_step / (matmul_peak * 1e12)
+    roofline_frac = max(t_flops_bound, t_gather_bound) / t_step
+
+    clouds_per_sec = B / t_step
     print(json.dumps({
         "metric": "clouds/sec/chip (DGCNN k=20, 1024 pts, full MLSP train step)",
         "value": round(clouds_per_sec, 1),
         "unit": "clouds/sec/chip",
         "vs_baseline": round(clouds_per_sec / TARGET, 3),
+        "t_step_ms": round(t_step * 1e3, 2),
+        "flops_per_step": round(flops_per_step / 1e9, 1),
+        "flops_unit": "GFLOP",
+        "matmul_tflops_f32": round(tflops_f32, 3),
+        "matmul_tflops_bf16": round(tflops_bf16, 3),
+        "gather_GBps": round(gather_gbps, 2),
+        "scatter_GBps": round(scatter_gbps, 2),
+        "t_flops_bound_ms": round(t_flops_bound * 1e3, 2),
+        "t_gather_bound_ms": round(t_gather_bound * 1e3, 2),
+        "roofline_frac": round(roofline_frac, 3),
+        "head_dtype": "bf16" if head_bf16 else "f32",
     }))
 
 

@@ -25,7 +25,7 @@ def knn_indices(
     x: jax.Array,
     k: int,
     y: jax.Array | None = None,
-    backend: str = "xla",
+    backend: str = "auto",
 ) -> jax.Array:
     """Indices of the k nearest points of `y` (default: `x`) per point of `x`.
 

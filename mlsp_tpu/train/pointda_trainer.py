@@ -88,13 +88,12 @@ def train_pointda(cfg: PointDAConfig, io: IOStream | None = None, mesh=None):
     steps_per_epoch = min(
         len(src_train.train_ind), len(trgt_train.train_ind)
     ) // cfg.batch_size
-    import jax.numpy as _jnp
+    from mlsp_tpu.utils.config import dgcnn_dtype_kwargs
 
-    dt = _jnp.bfloat16 if cfg.compute_dtype == "bf16" else None
     model = make_model(
         cfg.model, cfg.num_class, dropout=cfg.dropout,
         **(dict(density_num_cls=cfg.density_num_class, pergroup=cfg.pergroup,
-                knn_backend=cfg.knn_backend, dtype=dt)
+                knn_backend=cfg.knn_backend, **dgcnn_dtype_kwargs(cfg))
            if cfg.model == "dgcnn" else {}),
     )
     sample = jnp.zeros((cfg.batch_size, cfg.num_points, 3), jnp.float32)

@@ -148,13 +148,12 @@ def train_spst(cfg: SPSTConfig, io: IOStream | None = None, initial_state=None):
     trgt_test = load_pointda(cfg.trgt_dataset, cfg.dataroot, "test",
                              cfg.num_points, cfg.synthetic, cfg.seed)
 
-    import jax.numpy as _jnp
+    from mlsp_tpu.utils.config import dgcnn_dtype_kwargs
 
-    _dt = _jnp.bfloat16 if cfg.compute_dtype == "bf16" else None
     model = make_model(
         cfg.model, cfg.num_class, dropout=cfg.dropout,
         **(dict(density_num_cls=cfg.density_num_class, pergroup=cfg.pergroup,
-                knn_backend=cfg.knn_backend, dtype=_dt)
+                knn_backend=cfg.knn_backend, **dgcnn_dtype_kwargs(cfg))
            if cfg.model == "dgcnn" else {}),
     )
     sample = jnp.zeros((cfg.batch_size, cfg.num_points, 3), jnp.float32)

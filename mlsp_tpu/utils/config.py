@@ -78,6 +78,13 @@ class PointDAConfig:
     # "bf16" is ~13% faster on the dev chip but measurably hurts DGCNN
     # convergence (kNN graphs from rounded features) — opt-in only.
     compute_dtype: str = "f32"
+    # Finer mixed-precision knobs (dgcnn only; "" = follow compute_dtype):
+    # the per-point heads carry most of the step's FLOPs and have no
+    # kNN-graph dependency, and gather_dtype rounds only the gathered
+    # neighbour bytes while the graph itself stays f32 — both dodge the
+    # full-bf16 convergence failure mode.
+    head_dtype: str = ""
+    gather_dtype: str = ""
     scan_steps: int = 16  # train steps fused per device dispatch (1 = off)
     resume: str = ""  # checkpoint path to resume from (params+opt+epoch)
     synthetic: bool = False  # use in-memory synthetic data (tests/bench)
@@ -135,6 +142,8 @@ class SPSTConfig:
     pergroup: float = 2.0
     knn_backend: str = "auto"
     compute_dtype: str = "f32"
+    head_dtype: str = ""  # see PointDAConfig
+    gather_dtype: str = ""
     scan_steps: int = 8  # train steps fused per device dispatch (1 = off)
     synthetic: bool = False
 
@@ -189,6 +198,21 @@ class PointSegDAConfig:
     def resolved(self) -> "PointSegDAConfig":
         r = POINTSEGDA_RADIUS.get(self.trgt_dataset, self.density_radius)
         return dataclasses.replace(self, density_radius=r, density_num_class=16)
+
+
+def dgcnn_dtype_kwargs(cfg) -> dict:
+    """DGCNN mixed-precision kwargs from the config's *_dtype strings."""
+    import jax.numpy as jnp
+
+    def conv(s: str):
+        return jnp.bfloat16 if s == "bf16" else None
+
+    kw = {"dtype": conv(cfg.compute_dtype)}
+    if getattr(cfg, "head_dtype", ""):
+        kw["head_dtype"] = conv(cfg.head_dtype)
+    if getattr(cfg, "gather_dtype", ""):
+        kw["gather_dtype"] = conv(cfg.gather_dtype)
+    return kw
 
 
 def from_dict(cls, d: dict):
