@@ -197,7 +197,11 @@ def main() -> None:
     )
     matmul_peak = tflops_bf16 if head_bf16 else tflops_f32
     t_flops_bound = flops_per_step / (matmul_peak * 1e12)
+    # max() assumes perfect MXU/HBM overlap; the serial sum is the
+    # floor when the phases can't overlap (one core drives both here) —
+    # the truth is in between, so report both fractions.
     roofline_frac = max(t_flops_bound, t_gather_bound) / t_step
+    bound_sum_frac = (t_flops_bound + t_gather_bound) / t_step
 
     clouds_per_sec = B / t_step
     print(json.dumps({
@@ -215,6 +219,7 @@ def main() -> None:
         "t_flops_bound_ms": round(t_flops_bound * 1e3, 2),
         "t_gather_bound_ms": round(t_gather_bound * 1e3, 2),
         "roofline_frac": round(roofline_frac, 3),
+        "bound_sum_frac": round(bound_sum_frac, 3),
         "head_dtype": "bf16" if head_bf16 else "f32",
     }))
 
