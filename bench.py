@@ -18,11 +18,12 @@ true device throughput.
 Roofline: the JSON line also reports
   * flops_per_step        — XLA cost analysis of the compiled program,
   * matmul_tflops_f32     — achieved big-matmul throughput (microbench),
-  * gather_GBps           — achieved kNN-style gather bandwidth,
-  * scatter_GBps          — achieved scatter-add (gather backward) bw,
+  * gather/scatter_Mrows_s — achieved kNN gather / scatter-add ROW rates
+                            (the binding model: sparse ops here cost per
+                            row, ~flat in channel width up to C~256),
   * t_flops_bound_ms      — flops / achieved matmul throughput,
-  * t_gather_bound_ms     — the step's analytic gather+scatter bytes at
-                            the achieved gather/scatter bandwidths,
+  * t_sparse_bound_ms     — the step's analytic gather+scatter rows at
+                            the achieved row rates,
   * roofline_frac         — max(bound) / measured step time: how close
                             the program is to the binding resource limit
                             on THIS chip (round-2 measured: ~9.7 TFLOPS
@@ -79,15 +80,25 @@ def measure_matmul_tflops(dtype, M=2048, S=16) -> float:
     return S * 2 * M**3 / dt / 1e12
 
 
-def measure_gather_scatter_gbps(B=32, N=1024, k=20, C=128, S=16):
-    """Achieved bandwidth of the kNN neighbour gather and its transpose
-    (scatter-add), the EdgeConv hot loop's memory pattern."""
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
-    idx = jnp.asarray(rng.integers(0, N, (B, N, k)), jnp.int32)
-    bytes_moved = B * N * k * C * 4  # gathered neighbour bytes per pass
+def measure_gather_scatter(B=32, N=1024, k=20, C=128, S=16):
+    """Achieved kNN-neighbour gather and scatter-add (gather backward)
+    rates, with REAL kNN indices (neighbour locality matters: profile-
+    measured row rate with kNN indices is ~2x a uniform-random gather).
 
-    from mlsp_tpu.ops.knn import knn_gather
+    TPU gather/scatter here are ROW-RATE bound: per the per-op profile,
+    a [B*N*k]-row gather costs ~the same for C=3 and C=128 (~175M
+    rows/s), with bandwidth only surfacing beyond C~256. Returns
+    ((gather_rows_per_s, gather_GBps), (scatter_rows_per_s, scatter_GBps)).
+    """
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+
+    from mlsp_tpu.ops.knn import knn_gather, knn_indices
+
+    idx = jax.jit(lambda p: knn_indices(p, k))(pts)
+    rows = B * N * k
+    bytes_moved = rows * C * 4
 
     @jax.jit
     def fwd(x, idx):
@@ -110,27 +121,26 @@ def measure_gather_scatter_gbps(B=32, N=1024, k=20, C=128, S=16):
         return c
 
     _timed(fwd, x, idx, trials=1)
-    gather = S * bytes_moved / _timed(fwd, x, idx) / 1e9
+    dt_g = _timed(fwd, x, idx) / S
     _timed(bwd, x, idx, trials=1)
-    scatter = S * bytes_moved / _timed(bwd, x, idx) / 1e9
-    return gather, scatter
+    dt_s = _timed(bwd, x, idx) / S
+    return (rows / dt_g, bytes_moved / dt_g / 1e9), (rows / dt_s, bytes_moved / dt_s / 1e9)
 
 
-def step_gather_bytes(B, N, k, near, itemsize=4):
-    """Analytic gather/scatter byte count of one paper-recipe train step.
+def step_sparse_rows(B, N, k, near):
+    """Sparse-op row counts of one paper-recipe train step.
 
-    Differentiated DGCNN forwards per step: 2 (PCM-mixed classification
-    + deformed multi-head). Each gathers raw coords for the transform-
-    net edge features (C=3) and one neighbour pass per EdgeConvM layer
-    (C = 64, 64, 128, 256). Backward scatter-adds the same bytes.
-    estimate_normals adds one non-differentiated C=3 gather of `near`
-    neighbours. kNN top_k reads stream (not gather) — excluded here.
+    Two differentiated DGCNN forwards (PCM-mixed cls + deformed
+    multi-head): each does 5 neighbour gathers (raw-coord edge features
+    for the transform net + one per EdgeConvM layer) and the backward
+    scatter-adds one [B*N*k]-row cotangent per EdgeConvM layer;
+    estimate_normals adds one non-differentiated gather of `near`
+    neighbours. kNN selection itself runs in the Pallas kernel (not a
+    gather) — excluded.
     """
-    edge_Cs = [3, 64, 64, 128, 256]
-    fwd = 2 * sum(B * N * k * C * itemsize for C in edge_Cs)
-    fwd += B * N * near * 3 * itemsize  # estimate_normals
-    bwd = 2 * sum(B * N * k * C * itemsize for C in edge_Cs)
-    return fwd, bwd
+    gather_rows = 2 * 5 * B * N * k + B * N * near
+    scatter_rows = 2 * 4 * B * N * k
+    return gather_rows, scatter_rows
 
 
 def main() -> None:
@@ -189,12 +199,12 @@ def main() -> None:
     # Roofline context: achieved primitive peaks on this chip, now.
     tflops_f32 = measure_matmul_tflops(jnp.float32)
     tflops_bf16 = measure_matmul_tflops(jnp.bfloat16)
-    gather_gbps, scatter_gbps = measure_gather_scatter_gbps(B=B, N=N, k=20)
-
-    fwd_bytes, bwd_bytes = step_gather_bytes(B, N, k=20, near=cfg.near)
-    t_gather_bound = fwd_bytes / (gather_gbps * 1e9) + bwd_bytes / (
-        scatter_gbps * 1e9
+    (g_rows_s, gather_gbps), (s_rows_s, scatter_gbps) = measure_gather_scatter(
+        B=B, N=N, k=20
     )
+
+    g_rows, s_rows = step_sparse_rows(B, N, k=20, near=cfg.near)
+    t_gather_bound = g_rows / g_rows_s + s_rows / s_rows_s
     matmul_peak = tflops_bf16 if head_bf16 else tflops_f32
     t_flops_bound = flops_per_step / (matmul_peak * 1e12)
     # max() assumes perfect MXU/HBM overlap; the serial sum is the
@@ -214,10 +224,12 @@ def main() -> None:
         "flops_unit": "GFLOP",
         "matmul_tflops_f32": round(tflops_f32, 3),
         "matmul_tflops_bf16": round(tflops_bf16, 3),
+        "gather_Mrows_s": round(g_rows_s / 1e6, 1),
+        "scatter_Mrows_s": round(s_rows_s / 1e6, 1),
         "gather_GBps": round(gather_gbps, 2),
         "scatter_GBps": round(scatter_gbps, 2),
         "t_flops_bound_ms": round(t_flops_bound * 1e3, 2),
-        "t_gather_bound_ms": round(t_gather_bound * 1e3, 2),
+        "t_sparse_bound_ms": round(t_gather_bound * 1e3, 2),
         "roofline_frac": round(roofline_frac, 3),
         "bound_sum_frac": round(bound_sum_frac, 3),
         "head_dtype": "bf16" if head_bf16 else "f32",
