@@ -133,12 +133,12 @@ def step_sparse_rows(B, N, k, near):
     Two differentiated DGCNN forwards (PCM-mixed cls + deformed
     multi-head): each does 5 neighbour gathers (raw-coord edge features
     for the transform net + one per EdgeConvM layer) and the backward
-    scatter-adds one [B*N*k]-row cotangent per EdgeConvM layer;
-    estimate_normals adds one non-differentiated gather of `near`
-    neighbours. kNN selection itself runs in the Pallas kernel (not a
-    gather) — excluded.
+    scatter-adds one [B*N*k]-row cotangent per EdgeConvM layer.
+    estimate_normals is gather-free (fused Pallas moments kernel) and
+    kNN selection runs in the Pallas kernel — both excluded.
     """
-    gather_rows = 2 * 5 * B * N * k + B * N * near
+    del near
+    gather_rows = 2 * 5 * B * N * k
     scatter_rows = 2 * 4 * B * N * k
     return gather_rows, scatter_rows
 

@@ -78,9 +78,14 @@ def _smallest_eigvec_3x3(A: jax.Array) -> jax.Array:
     return v / jnp.linalg.norm(v, axis=-1, keepdims=True).clip(_EPS)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "orient_to_origin"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "orient_to_origin", "backend")
+)
 def estimate_normals(
-    xyz: jax.Array, k: int = 20, orient_to_origin: bool = True
+    xyz: jax.Array,
+    k: int = 20,
+    orient_to_origin: bool = True,
+    backend: str = "auto",
 ) -> jax.Array:
     """Per-point unit normals from kNN-PCA.
 
@@ -89,17 +94,33 @@ def estimate_normals(
       k: neighbourhood size (reference `--near`, default 20; self included).
       orient_to_origin: flip normals toward the origin viewpoint like PCL's
         flipNormalTowardsViewpoint(0, 0, 0).
+      backend: "auto" (fused gather-free Pallas moments kernel on TPU),
+        "pallas", or "xla" (kNN + gather + centered covariance).
 
     Returns:
       [B, N, 3] unit normals.
     """
-    idx = knn_indices(xyz, k)  # [B, N, k]
-    neigh = knn_gather(xyz, idx)  # [B, N, k, 3]
-    centered = neigh - jnp.mean(neigh, axis=-2, keepdims=True)
-    cov = jnp.einsum(
-        "...ki,...kj->...ij", centered, centered,
-        preferred_element_type=jnp.float32,
-    ) / float(k)
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas" and xyz.ndim == 3:
+        from mlsp_tpu.ops.pallas.normals_pallas import knn_moments_pallas
+
+        # Gather-free: the selection mask turns neighbourhood sums into
+        # MXU matmuls; covariance by E[xx^T] - mu mu^T (clouds are
+        # unit-cube so the f32 cancellation is benign).
+        s1, s2 = knn_moments_pallas(xyz, k)
+        mu = s1 / float(k)
+        cov = s2.reshape(*s2.shape[:-1], 3, 3) / float(k) - (
+            mu[..., :, None] * mu[..., None, :]
+        )
+    else:
+        idx = knn_indices(xyz, k, backend=backend)  # [B, N, k]
+        neigh = knn_gather(xyz, idx)  # [B, N, k, 3]
+        centered = neigh - jnp.mean(neigh, axis=-2, keepdims=True)
+        cov = jnp.einsum(
+            "...ki,...kj->...ij", centered, centered,
+            preferred_element_type=jnp.float32,
+        ) / float(k)
     n = _smallest_eigvec_3x3(cov)
     if orient_to_origin:
         flip = jnp.sum(n * xyz, axis=-1, keepdims=True) > 0.0

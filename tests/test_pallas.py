@@ -35,6 +35,45 @@ class TestKnnPallas:
         assert idx.shape == (1, 96, 4)
 
 
+class TestKnnMomentsPallas:
+    def test_moments_match_gather_path(self, rng):
+        """Mask-matmul neighbourhood sums == gather-based sums."""
+        from mlsp_tpu.ops.knn import knn_gather
+        from mlsp_tpu.ops.pallas.normals_pallas import knn_moments_pallas
+
+        k = 8
+        x = jnp.asarray(rng.standard_normal((2, 128, 3)), jnp.float32)
+        s1, s2 = knn_moments_pallas(x, k, tile=64, interpret=True)
+        idx = knn_indices(x, k)
+        neigh = np.asarray(knn_gather(x, idx), np.float64)  # [B, N, k, 3]
+        np.testing.assert_allclose(np.asarray(s1), neigh.sum(-2),
+                                   rtol=1e-5, atol=1e-5)
+        outer = np.einsum("bnki,bnkj->bnij", neigh, neigh)
+        np.testing.assert_allclose(
+            np.asarray(s2).reshape(2, 128, 3, 3), outer, rtol=1e-4, atol=1e-4)
+
+    def test_normals_via_moments_match_xla(self, rng):
+        """The fused-kernel covariance (E[xx^T] - mu mu^T) feeds the same
+        eigenvector math as the gather path (exact estimate_normals
+        pallas-backend composition, minus the jit dispatch)."""
+        from mlsp_tpu.ops import normals as normals_mod
+        from mlsp_tpu.ops.pallas.normals_pallas import knn_moments_pallas
+
+        k = 8
+        x = jnp.asarray(rng.standard_normal((2, 128, 3)), jnp.float32)
+        want = np.asarray(normals_mod.estimate_normals(x, k, backend="xla"))
+
+        s1, s2 = knn_moments_pallas(x, k, tile=64, interpret=True)
+        mu = s1 / k
+        cov = s2.reshape(2, 128, 3, 3) / k - mu[..., :, None] * mu[..., None, :]
+        n = normals_mod._smallest_eigvec_3x3(cov)
+        flip = jnp.sum(n * x, axis=-1, keepdims=True) > 0.0
+        got = np.asarray(jnp.where(flip, -n, n))
+
+        cos = np.abs((got * want).sum(-1))
+        assert np.quantile(cos, 0.01) > 0.999, np.quantile(cos, 0.01)
+
+
 class TestFpsPallas:
     def test_matches_xla(self, rng):
         import functools
