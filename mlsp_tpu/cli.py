@@ -91,6 +91,10 @@ def main(argv=None) -> int:
 
     p_seg = sub.add_parser("seg", help="PointSegDA segmentation DA")
     _add_config_args(p_seg, PointSegDAConfig)
+    p_seg.add_argument("--mesh_data", type=int, default=0,
+                       help="data-parallel mesh axis size (0 = no mesh)")
+    p_seg.add_argument("--mesh_points", type=int, default=1,
+                       help="points-sharding mesh axis size")
 
     args = parser.parse_args(argv)
     enable_cache()
@@ -124,7 +128,13 @@ def main(argv=None) -> int:
     elif args.command == "seg":
         from mlsp_tpu.train.pointsegda_trainer import train_pointsegda
 
-        train_pointsegda(_to_config(PointSegDAConfig, args))
+        mesh = None
+        if args.mesh_data or args.mesh_points > 1:
+            from mlsp_tpu.parallel import make_mesh
+
+            mesh = make_mesh(data=args.mesh_data or None,
+                             points=args.mesh_points)
+        train_pointsegda(_to_config(PointSegDAConfig, args), mesh=mesh)
     return 0
 
 

@@ -20,7 +20,10 @@ def load_pointsegda(
     dataroot: str,
     partition: str = "train",
     synthetic_fallback: bool = False,
+    num_points: int = NUM_POINTS,
 ) -> Dataset:
+    """`num_points` sizes the synthetic fallback only; real PointSegDA
+    shards are fixed 2048-point clouds."""
     files = sorted(glob.glob(os.path.join(dataroot, name, partition, "*.npy")))
     if not files:
         if not synthetic_fallback:
@@ -30,7 +33,7 @@ def load_pointsegda(
         dom_seed = {"adobe": 40, "faust": 50, "mit": 60, "scape": 70}[name]
         n_ex = {"train": 48, "val": 16, "test": 16}[partition]
         data, labels = synthetic.make_segmentation(
-            n_ex, NUM_POINTS, NUM_CLASSES,
+            n_ex, num_points, NUM_CLASSES,
             seed=dom_seed + {"train": 0, "val": 1, "test": 2}[partition],
         )
         return Dataset(data, labels)

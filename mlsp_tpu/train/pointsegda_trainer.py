@@ -54,14 +54,25 @@ def evaluate_seg(state, data, label, batch_size):
     return seg_loss / n_total, miou / n_total, acc / n_total
 
 
-def train_pointsegda(cfg: PointSegDAConfig, io: IOStream | None = None):
+def train_pointsegda(cfg: PointSegDAConfig, io: IOStream | None = None,
+                     mesh=None):
+    """Run the seg DA training; returns (best_state, results dict).
+
+    With `mesh`: params replicated, batches sharded over `data`, points
+    axis applied to the O(N^2) intermediates (cf. `train_pointda`).
+    """
+    from mlsp_tpu.parallel import (
+        points_sharding, replicate, shard_batch, shard_scan_batch,
+    )
+
     cfg = cfg.resolved()
     io = io or IOStream(cfg.out_path, f"{cfg.exp_name}_{cfg.src_dataset}_{cfg.trgt_dataset}")
     io.cprint(str(cfg))
     rng = np.random.default_rng(cfg.seed)
     key = jax.random.key(cfg.seed)
 
-    load = lambda name, part: load_pointsegda(name, cfg.dataroot, part, cfg.synthetic)
+    load = lambda name, part: load_pointsegda(name, cfg.dataroot, part,
+                                              cfg.synthetic, cfg.num_points)
     src_train, src_val = load(cfg.src_dataset, "train"), load(cfg.src_dataset, "val")
     trgt_train, trgt_val = load(cfg.trgt_dataset, "train"), load(cfg.trgt_dataset, "val")
     trgt_test = load(cfg.trgt_dataset, "test")
@@ -89,6 +100,15 @@ def train_pointsegda(cfg: PointSegDAConfig, io: IOStream | None = None):
 
     io.cprint("\n" + model_summary(state.params))  # torchsummary parity
 
+    if mesh is not None:
+        n_data = mesh.shape["data"]
+        if bsz % n_data:
+            raise ValueError(
+                f"batch size {bsz} not divisible by the mesh data axis "
+                f"({n_data} devices)"
+            )
+        state = replicate(mesh, state)
+
     best = {"src_val_loss": MAX_LOSS, "epoch": -1, "state": state}
     ckpt_path = os.path.join(io.path, "model.ckpt")
 
@@ -103,13 +123,20 @@ def train_pointsegda(cfg: PointSegDAConfig, io: IOStream | None = None):
         full = (len(pairs) // S) * S if S > 1 else 0
         for s in range(0, full, S):
             chunk = pairs[s : s + S]
-            sxs = jnp.asarray(np.stack([c[0][0] for c in chunk]))
-            sys_ = jnp.asarray(np.stack([c[0][1] for c in chunk]))
-            txs = jnp.asarray(np.stack([c[1][0] for c in chunk]))
-            key, k = jax.random.split(key)
-            state, ms, (preds, mixed_y) = seg_steps.pointsegda_train_scan(
-                state, sxs, sys_, txs, k, cfg
+            batch = (
+                np.stack([c[0][0] for c in chunk]),
+                np.stack([c[0][1] for c in chunk]),
+                np.stack([c[1][0] for c in chunk]),
             )
+            sxs, sys_, txs = (
+                shard_scan_batch(mesh, batch) if mesh is not None
+                else jax.tree_util.tree_map(jnp.asarray, batch)
+            )
+            key, k = jax.random.split(key)
+            with points_sharding(mesh):
+                state, ms, (preds, mixed_y) = seg_steps.pointsegda_train_scan(
+                    state, sxs, sys_, txs, k, cfg
+                )
             meters.update(jax.device_get(ms), n=bsz)
             bm, _ = metrics.seg_metrics(
                 np.asarray(mixed_y).reshape(-1, mixed_y.shape[-1]),
@@ -117,11 +144,17 @@ def train_pointsegda(cfg: PointSegDAConfig, io: IOStream | None = None):
             )
             meters.update({"src_train_mIoU": bm / (S * bsz)}, n=S * bsz)
         for (sx, sy), (tx, _) in pairs[full:]:
-            key, k = jax.random.split(key)
-            state, m, (preds, mixed_y) = seg_steps.pointsegda_train_step(
-                state, jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(tx), k, cfg
-            )
             bs = sx.shape[0]
+            batch = (sx, sy, tx)
+            sx, sy, tx = (
+                shard_batch(mesh, batch) if mesh is not None
+                else jax.tree_util.tree_map(jnp.asarray, batch)
+            )
+            key, k = jax.random.split(key)
+            with points_sharding(mesh):
+                state, m, (preds, mixed_y) = seg_steps.pointsegda_train_step(
+                    state, sx, sy, tx, k, cfg
+                )
             meters.update(jax.device_get(m), n=bs)
             bm, _ = metrics.seg_metrics(np.asarray(mixed_y), np.asarray(preds))
             meters.update({"src_train_mIoU": bm / bs}, n=bs)

@@ -143,6 +143,22 @@ def test_points_axis_full_step_numerics():
     assert ratio < 2e-2, f"global grad rel-norm diff {ratio:.2e}"
 
 
+def test_train_pointsegda_under_mesh(tmp_path):
+    """Seg trainer-level mesh wiring (full epoch + eval + checkpoint)."""
+    from mlsp_tpu.parallel import make_mesh
+    from mlsp_tpu.train import train_pointsegda
+    from mlsp_tpu.utils.config import PointSegDAConfig
+
+    mesh = make_mesh(data=4, points=2)
+    cfg = PointSegDAConfig(
+        synthetic=True, epochs=1, batch_size=8, test_batch_size=8,
+        num_points=128, DefRec_on_trgt=True, density_radius=0.3,
+        scan_steps=2, out_path=str(tmp_path), exp_name="seg_mesh",
+    )
+    state, results = train_pointsegda(cfg, mesh=mesh)
+    assert 0.0 <= results["test"]["mIoU"] <= 1.0
+
+
 def test_train_pointda_under_mesh(tmp_path):
     """Trainer-level mesh wiring: replicate params, shard every batch,
     run a full epoch + eval + checkpoint under the mesh."""

@@ -62,7 +62,7 @@ class TestSegStep:
         from mlsp_tpu.train import train_pointsegda
 
         cfg = seg_cfg(out_path=str(tmp_path), epochs=2, DefRec_on_trgt=True,
-                      test_batch_size=8)
+                      test_batch_size=8, num_points=256)
         # shrink: synthetic seg makes 48 train examples; batch 4 -> 12 steps
         state, results = train_pointsegda(cfg)
         assert 0.0 <= results["test"]["mIoU"] <= 1.0
