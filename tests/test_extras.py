@@ -265,3 +265,22 @@ class TestCLIConfig:
         assert rc == 0
         assert (tmp_path / "ycfg" / "run.log").exists()
         assert (tmp_path / "ycfg" / "Target_test_conf_mat.csv").exists()
+
+
+class TestTransformerTrainers:
+    @pytest.mark.slow
+    @pytest.mark.parametrize("model", ["point_transformer", "hengshuang"])
+    def test_trainer_e2e(self, model, tmp_path):
+        """Both transformer backbones run the FULL PointDA trainer loop
+        (DefRec SSL head, eval, checkpointing) on synthetic data."""
+        from mlsp_tpu.train import train_pointda
+        from mlsp_tpu.utils.config import PointDAConfig
+
+        cfg = PointDAConfig(
+            model=model, synthetic=True, epochs=1, batch_size=8,
+            num_points=64, test_batch_size=8, apply_PCM=False,
+            scan_steps=4, out_path=str(tmp_path), exp_name=f"t_{model}",
+        )
+        _, results = train_pointda(cfg)
+        assert 0.0 <= results["test"]["acc"] <= 1.0
+        assert (tmp_path / f"t_{model}" / "model.ckpt").exists()
