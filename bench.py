@@ -49,15 +49,7 @@ V100_ESTIMATE_CLOUDS_PER_SEC = 640.0
 TARGET = 5.0 * V100_ESTIMATE_CLOUDS_PER_SEC
 
 
-def _timed(fn, *args, trials=3):
-    """Best wall time of `fn(*args)` ending in a forced value fetch."""
-    best = float("inf")
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        float(out)  # forced fetch = true completion through the relay
-        best = min(best, time.perf_counter() - t0)
-    return best
+from mlsp_tpu.utils.timing import timed_fetch as _timed  # noqa: E402
 
 
 def measure_matmul_tflops(dtype, M=2048, S=16) -> float:
@@ -205,8 +197,10 @@ def main() -> None:
 
     g_rows, s_rows = step_sparse_rows(B, N, k=20, near=cfg.near)
     t_gather_bound = g_rows / g_rows_s + s_rows / s_rows_s
-    matmul_peak = tflops_bf16 if head_bf16 else tflops_f32
-    t_flops_bound = flops_per_step / (matmul_peak * 1e12)
+    # Bound against the f32 peak even in head-bf16 mode: the backbone
+    # and distance matmuls stay f32, so dividing ALL flops by the bf16
+    # rate would understate the bound (moot on this chip, f32 ~= bf16).
+    t_flops_bound = flops_per_step / (tflops_f32 * 1e12)
     # max() assumes perfect MXU/HBM overlap; the serial sum is the
     # floor when the phases can't overlap (one core drives both here) —
     # the truth is in between, so report both fractions.

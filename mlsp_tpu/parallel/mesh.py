@@ -80,15 +80,26 @@ def shard_points_constraint(x, mesh: Mesh | None):
 # ---------------------------------------------------------------------------
 
 _ACTIVE_POINTS_MESH: Mesh | None = None
+_CLEARED_FOR: Mesh | None = None  # last mesh the jit caches were cleared for
 
 
 class points_sharding:
     """Context manager: ops traced inside constrain their [B, N, N]
     distance intermediates to P("data", "points") over `mesh`.
 
-    No-op when `mesh` is None or has a trivial points axis. Must wrap
-    the *first* (tracing) call of a jitted step to take effect — jit
-    reuses the traced program afterwards.
+    No-op when `mesh` is None or has a trivial points axis.
+
+    The active mesh is consulted at TRACE time, but jit caches (outer
+    steps AND inner jits like `knn_indices`) are keyed on abstract
+    values only — a program traced before the context was entered (e.g.
+    during `model.init`) would be silently reused with the constraint
+    MISSING. Entering with a mesh the caches were not cleared for
+    therefore clears the jit caches, so everything retraces under the
+    context; re-entering with the same mesh (the per-step pattern in
+    the trainers) costs nothing. The reverse direction is deliberately
+    not cleared: a constrained program reused outside the context is
+    numerically identical — it merely keeps its outputs laid out over
+    the mesh.
     """
 
     def __init__(self, mesh: Mesh | None):
@@ -96,8 +107,11 @@ class points_sharding:
         self.mesh = mesh if active else None
 
     def __enter__(self):
-        global _ACTIVE_POINTS_MESH
+        global _ACTIVE_POINTS_MESH, _CLEARED_FOR
         self._prev = _ACTIVE_POINTS_MESH
+        if self.mesh is not None and self.mesh != _CLEARED_FOR:
+            jax.clear_caches()
+            _CLEARED_FOR = self.mesh
         _ACTIVE_POINTS_MESH = self.mesh
         return self.mesh
 

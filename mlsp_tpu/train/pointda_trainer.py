@@ -38,6 +38,8 @@ def evaluate(state, data, label, batch_size, num_classes, indices=None):
         stack_x.append(bx)
         stack_y.append(by)
         counts.append(n)
+    if not stack_x:
+        raise ValueError("evaluate: empty evaluation split")
     all_logits = np.asarray(
         steps.eval_scan(state, jnp.asarray(np.stack(stack_x)))
     )  # [S, B, C]
@@ -98,21 +100,9 @@ def train_pointda(cfg: PointDAConfig, io: IOStream | None = None, mesh=None):
     )
     sample = jnp.zeros((cfg.batch_size, cfg.num_points, 3), jnp.float32)
     key, init_key = jax.random.split(key)
-    all_heads = ("defrec", "normal", "scan", "density") if cfg.model == "dgcnn" else ("defrec",)
-    needed = {"defrec"}
-    if cfg.Norm_on_trgt or cfg.Normal_ondef:
-        needed.add("normal")
-    if cfg.Scan_on_trgt:
-        needed.add("scan")
-    if cfg.Density_on_trgt or cfg.Density_ondef:
-        needed.add("density")
-    missing = needed - set(all_heads)
-    if missing:
-        raise ValueError(
-            f"model {cfg.model!r} has no {sorted(missing)} head(s) but the "
-            f"config enables SSL branches that need them — use --model dgcnn "
-            f"or disable those flags"
-        )
+    from mlsp_tpu.utils.config import validate_heads
+
+    all_heads = validate_heads(cfg)
     state = create_train_state(
         model, init_key, sample,
         optimizer=cfg.optimizer, lr=cfg.lr, wd=cfg.wd, momentum=cfg.momentum,

@@ -38,6 +38,8 @@ def evaluate_seg(state, data, label, batch_size):
         stack_x.append(bx)
         stack_y.append(by)
         counts.append(n)
+    if not stack_x:
+        raise ValueError("evaluate_seg: empty evaluation split")
     all_logits = np.asarray(
         seg_steps.seg_eval_scan(state, jnp.asarray(np.stack(stack_x)))
     )  # [S, B, N, C]

@@ -200,6 +200,48 @@ class PointSegDAConfig:
         return dataclasses.replace(self, density_radius=r, density_num_class=16)
 
 
+def model_heads(model: str) -> tuple[str, ...]:
+    """SSL heads a backbone provides (cf. the reference's activate_*
+    flags: only DGCNN carries normal/scan/density heads)."""
+    return (
+        ("defrec", "normal", "scan", "density") if model == "dgcnn"
+        else ("defrec",)
+    )
+
+
+def validate_heads(cfg) -> tuple[str, ...]:
+    """Check the SSL branches the config enables against the heads the
+    chosen backbone provides; returns the backbone's head tuple.
+
+    Raises a clear ValueError instead of letting the train step die on
+    a KeyError mid-forward.
+    """
+    available = model_heads(cfg.model)
+    needed = {"defrec"}
+    if getattr(cfg, "Norm_on_trgt", False) or getattr(cfg, "Normal_ondef", False):
+        needed.add("normal")
+    if getattr(cfg, "Scan_on_trgt", False):
+        needed.add("scan")
+    if (getattr(cfg, "Density_on_trgt", False)
+            or getattr(cfg, "Density_ondef", False)):
+        needed.add("density")
+    # The combined branches forward through all three heads regardless
+    # of the *_ondef flags (steps.py `_apply(..., ("defrec", "normal",
+    # "density"), ...)`).
+    if (getattr(cfg, "Density_normal_viainput", False)
+            or getattr(cfg, "Density_normal_viachamfer", False)
+            or getattr(cfg, "Density_normal_viainput_onsrc", False)):
+        needed.update({"normal", "density"})
+    missing = needed - set(available)
+    if missing:
+        raise ValueError(
+            f"model {cfg.model!r} has no {sorted(missing)} head(s) but the "
+            f"config enables SSL branches that need them — use --model dgcnn "
+            f"or disable those flags"
+        )
+    return available
+
+
 def dgcnn_dtype_kwargs(cfg) -> dict:
     """DGCNN mixed-precision kwargs from the config's *_dtype strings."""
     import jax.numpy as jnp

@@ -239,10 +239,15 @@ class _Mapper:
             problems.append(
                 "Checkpoint tensors with mismatched shapes:\n  "
                 + "\n  ".join(self.bad_shapes))
-        if problems and strict:
-            raise CheckpointMismatchError(
-                f"checkpoint does not match {self.model_name}:\n"
-                + "\n".join(problems))
+        if problems:
+            msg = (f"checkpoint does not match {self.model_name}:\n"
+                   + "\n".join(problems))
+            if strict:
+                raise CheckpointMismatchError(msg)
+            # Non-strict still surfaces the report: silently keeping
+            # randomly-initialized layers is the failure mode the
+            # reference's diagnostics exist to prevent.
+            warnings.warn(msg, stacklevel=3)
         unexpected = sorted(
             k for k in self.sd
             if k not in self.consumed and not k.endswith("num_batches_tracked"))

@@ -13,24 +13,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from mlsp_tpu.utils.cache import enable as enable_cache
+from mlsp_tpu.utils.timing import timed_scan
 
 
-def timed_scan(fn, xs, S, trials=3):
-    @jax.jit
-    def run(xs):
-        def body(c, x):
-            return c + fn(x), ()
-
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), xs)
-        return c
-
-    float(run(xs))
-    best = float("inf")
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        float(run(xs))
-        best = min(best, time.perf_counter() - t0)
-    return best / S
 
 
 def main():

@@ -174,7 +174,28 @@ class TestConfigYaml:
         assert spst.rounds == 2 and spst.epochs == 20
         for name, model in [("pointda_pointtransformer.yaml", "point_transformer"),
                             ("pointda_hengshuang.yaml", "hengshuang")]:
-            assert load_yaml(PointDAConfig, os.path.join(root, name)).model == model
+            cfg = load_yaml(PointDAConfig, os.path.join(root, name))
+            assert cfg.model == model
+
+        # Every shipped PointDA config must be ACCEPTED by the trainer's
+        # head validation, not just parse (a transformer config that
+        # inherits dgcnn-only SSL branches would die at startup).
+        from mlsp_tpu.utils.config import validate_heads
+
+        for p in pairs + [os.path.join(root, n) for n in (
+                "pointda_paper.yaml", "pointda_base.yaml",
+                "pointda_pointtransformer.yaml", "pointda_hengshuang.yaml")]:
+            validate_heads(load_yaml(PointDAConfig, p).resolved())
+
+    def test_validate_heads_rejects_mismatch(self):
+        from mlsp_tpu.utils.config import PointDAConfig, validate_heads
+
+        with pytest.raises(ValueError, match="no \\['density', 'normal'\\]"):
+            validate_heads(PointDAConfig(model="pointnet",
+                                         Density_normal_viainput=True))
+        assert validate_heads(PointDAConfig(model="dgcnn",
+                                            Density_normal_viainput=True)) == (
+            "defrec", "normal", "scan", "density")
 
     def test_cli_flags_override_yaml(self):
         """--config + explicit flags compose: defaults < YAML < flags."""

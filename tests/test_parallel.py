@@ -78,6 +78,33 @@ def test_points_axis_sharding():
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def test_points_constraint_lands_in_lowered_program():
+    """The constraint must be present in the COMPILED program, not just
+    numerically invisible: (a) a fresh trace under points_sharding
+    carries sdy.sharding_constraint on the distance matrix; (b) a
+    program traced BEFORE the context (stale inner-jit cache, e.g. from
+    model.init) is retraced when the context is entered."""
+    from mlsp_tpu.ops.knn import knn_indices
+    from mlsp_tpu.parallel import make_mesh, points_sharding
+
+    mesh = make_mesh(data=2, points=4)
+    x = jnp.zeros((8, 64, 3), jnp.float32)
+
+    def f(y):
+        return knn_indices(y, 8)
+
+    # Pollute the inner-jit cache by tracing OUTSIDE the context first.
+    pre = jax.jit(f).lower(x).as_text()
+    assert "sharding_constraint" not in pre
+
+    with points_sharding(mesh):
+        post = jax.jit(f).lower(x).as_text()
+    assert "sharding_constraint" in post, (
+        "points constraint missing from the program traced under "
+        "points_sharding (stale jit cache?)"
+    )
+
+
 def test_points_axis_full_step_numerics():
     """The REAL MLSP step traced under `points_sharding` on a 2x4
     (data x points) mesh: the O(N^2) intermediates inside kNN/density get
