@@ -88,6 +88,10 @@ def main(argv=None) -> int:
 
     p_spst = sub.add_parser("spst", help="SPST pseudo-label self-training")
     _add_config_args(p_spst, SPSTConfig)
+    p_spst.add_argument("--mesh_data", type=int, default=0,
+                        help="data-parallel mesh axis size (0 = no mesh)")
+    p_spst.add_argument("--mesh_points", type=int, default=1,
+                        help="points-sharding mesh axis size")
 
     p_seg = sub.add_parser("seg", help="PointSegDA segmentation DA")
     _add_config_args(p_seg, PointSegDAConfig)
@@ -124,7 +128,13 @@ def main(argv=None) -> int:
     elif args.command == "spst":
         from mlsp_tpu.train.spst import train_spst
 
-        train_spst(_to_config(SPSTConfig, args))
+        mesh = None
+        if args.mesh_data or args.mesh_points > 1:
+            from mlsp_tpu.parallel import make_mesh
+
+            mesh = make_mesh(data=args.mesh_data or None,
+                             points=args.mesh_points)
+        train_spst(_to_config(SPSTConfig, args), mesh=mesh)
     elif args.command == "seg":
         from mlsp_tpu.train.pointsegda_trainer import train_pointsegda
 

@@ -135,7 +135,14 @@ def select_pseudo_labels(state, data, label, indices, batch_size, threshold,
     return pcs, plabels.astype(np.int64)
 
 
-def train_spst(cfg: SPSTConfig, io: IOStream | None = None, initial_state=None):
+def train_spst(cfg: SPSTConfig, io: IOStream | None = None, initial_state=None,
+               mesh=None):
+    """SPST fine-tuning; with `mesh`, params replicate and batches shard
+    over `data` like the other trainers (cf. `train_pointda`)."""
+    from mlsp_tpu.parallel import (
+        points_sharding, replicate, shard_batch, shard_scan_batch,
+    )
+
     io = io or IOStream(cfg.out_path, cfg.exp_name)
     io.cprint(str(cfg))
     rng = np.random.default_rng(cfg.seed)
@@ -173,6 +180,15 @@ def train_spst(cfg: SPSTConfig, io: IOStream | None = None, initial_state=None):
                                                   with_optimizer=False)
         io.cprint(f"loaded pretrained model from {cfg.model_file}")
 
+    if mesh is not None:
+        n_data = mesh.shape["data"]
+        if cfg.batch_size % n_data:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by the mesh "
+                f"data axis ({n_data} devices)"
+            )
+        state = replicate(mesh, state)
+
     initial = evaluate(state, trgt_test.data, trgt_test.label,
                        cfg.test_batch_size, cfg.num_class)
     io.cprint(f"initial target test accuracy: {initial['acc']:.4f}")
@@ -204,24 +220,37 @@ def train_spst(cfg: SPSTConfig, io: IOStream | None = None, initial_state=None):
             full = (len(pairs) // S) * S if S > 1 else 0
             for si in range(0, full, S):
                 chunk = pairs[si : si + S]
-                txs = jnp.asarray(np.stack([c[0][0] for c in chunk]))
-                tys = jnp.asarray(np.stack([c[0][1] for c in chunk]))
-                sxs = jnp.asarray(np.stack([c[1][0] for c in chunk]))
-                sys_ = jnp.asarray(np.stack([c[1][1] for c in chunk]))
-                key, k = jax.random.split(key)
-                state, ms = spst_train_scan(
-                    state, txs, tys, sxs, sys_,
-                    jnp.float32(spl_weight), jnp.float32(cls_weight), k, cfg,
+                batch = (
+                    np.stack([c[0][0] for c in chunk]),
+                    np.stack([c[0][1] for c in chunk]),
+                    np.stack([c[1][0] for c in chunk]),
+                    np.stack([c[1][1] for c in chunk]),
                 )
+                txs, tys, sxs, sys_ = (
+                    shard_scan_batch(mesh, batch) if mesh is not None
+                    else jax.tree_util.tree_map(jnp.asarray, batch)
+                )
+                key, k = jax.random.split(key)
+                with points_sharding(mesh):
+                    state, ms = spst_train_scan(
+                        state, txs, tys, sxs, sys_,
+                        jnp.float32(spl_weight), jnp.float32(cls_weight), k, cfg,
+                    )
                 meters.update(jax.device_get(ms), n=cfg.batch_size)
             for (tx, ty), (sx, sy) in pairs[full:]:
-                key, k = jax.random.split(key)
-                state, m = spst_train_step(
-                    state, jnp.asarray(tx), jnp.asarray(ty),
-                    jnp.asarray(sx), jnp.asarray(sy),
-                    jnp.float32(spl_weight), jnp.float32(cls_weight), k, cfg,
+                bs = tx.shape[0]
+                batch = (tx, ty, sx, sy)
+                tx, ty, sx, sy = (
+                    shard_batch(mesh, batch) if mesh is not None
+                    else jax.tree_util.tree_map(jnp.asarray, batch)
                 )
-                meters.update(jax.device_get(m), n=tx.shape[0])
+                key, k = jax.random.split(key)
+                with points_sharding(mesh):
+                    state, m = spst_train_step(
+                        state, tx, ty, sx, sy,
+                        jnp.float32(spl_weight), jnp.float32(cls_weight), k, cfg,
+                    )
+                meters.update(jax.device_get(m), n=bs)
             spl_weight -= cfg.weight_decay_per_epoch
             cls_weight -= cfg.weight_decay_per_epoch
             io.print_progress("SPST", "Trn", rnd * cfg.epochs + epoch,

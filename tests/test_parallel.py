@@ -186,6 +186,22 @@ def test_train_pointsegda_under_mesh(tmp_path):
     assert 0.0 <= results["test"]["mIoU"] <= 1.0
 
 
+def test_train_spst_under_mesh(tmp_path):
+    """SPST trainer-level mesh wiring (selection + fine-tune + eval)."""
+    from mlsp_tpu.parallel import make_mesh
+    from mlsp_tpu.train import train_spst
+    from mlsp_tpu.utils.config import SPSTConfig
+
+    mesh = make_mesh(data=4, points=2)
+    cfg = SPSTConfig(
+        synthetic=True, out_path=str(tmp_path), exp_name="spst_mesh",
+        batch_size=8, num_points=64, epochs=1, rounds=1, threshold=10.0,
+        model="pointnet", model_file="", test_batch_size=8, scan_steps=2,
+    )
+    _, results = train_spst(cfg, mesh=mesh)
+    assert 0.0 <= results["final"]["acc"] <= 1.0
+
+
 def test_train_pointda_under_mesh(tmp_path):
     """Trainer-level mesh wiring: replicate params, shard every batch,
     run a full epoch + eval + checkpoint under the mesh."""
