@@ -101,12 +101,23 @@ def measure_gather_scatter(B=32, N=1024, k=20, C=128, S=16):
         c, _ = jax.lax.scan(body, jnp.float32(0.0), (), length=S)
         return c
 
-    grad_inner = jax.grad(lambda x, idx: jnp.sum(knn_gather(x, idx)))
+    # Random cotangent: with a constant (all-ones) cotangent XLA folds
+    # the scatter-add and reports a ~4x optimistic rate (measured: ones
+    # ~290M rows/s vs random ~52-73M rows/s, the rate real backward
+    # passes actually see). Passed as an argument — a closed-over
+    # constant would be baked into the HLO and overflow the remote
+    # compiler's request limit.
+    cot = jnp.asarray(rng.standard_normal((B, N, k, C)), jnp.float32)
+    grad_inner = jax.grad(
+        lambda x, idx, cot: jnp.sum(knn_gather(x, idx) * cot))
 
     @jax.jit
-    def bwd(x, idx):
+    def bwd(x, idx, cot):
         def body(c, _):
-            g = grad_inner(x + c, idx)  # scatter-add back to [B, N, C]
+            # cot + c varies per iteration: the scatter operand must not
+            # be loop-invariant or XLA hoists the scatter out of the
+            # scan and the measurement amortizes one scatter over S.
+            g = grad_inner(x, idx, cot + c)  # scatter-add to [B, N, C]
             return jnp.max(g) * 1e-9, ()
 
         c, _ = jax.lax.scan(body, jnp.float32(0.0), (), length=S)
@@ -114,8 +125,8 @@ def measure_gather_scatter(B=32, N=1024, k=20, C=128, S=16):
 
     _timed(fwd, x, idx, trials=1)
     dt_g = _timed(fwd, x, idx) / S
-    _timed(bwd, x, idx, trials=1)
-    dt_s = _timed(bwd, x, idx) / S
+    _timed(bwd, x, idx, cot, trials=1)
+    dt_s = _timed(bwd, x, idx, cot) / S
     return (rows / dt_g, bytes_moved / dt_g / 1e9), (rows / dt_s, bytes_moved / dt_s / 1e9)
 
 

@@ -188,11 +188,13 @@ class DGCNN(nn.Module):
 
         if heads:
             hdt = self.head_dtype if self.head_dtype is not None else dt
-            pp = jnp.concatenate(
-                [x_cat, jnp.broadcast_to(x5[:, None, :], (B, N, 1024))], axis=-1
-            )  # [B, N, 1536]
+            # Implicit concat [x_cat | broadcast(x5)] ([B, N, 1536]): the
+            # heads' first Dense runs in split form (SplitDense) so the
+            # global-feature half multiplies its kernel once per cloud,
+            # not once per point, and the concat is never materialized.
+            pp = (x_cat, x5)
             if hdt is not None:
-                pp = pp.astype(hdt)
+                pp = (x_cat.astype(hdt), x5.astype(hdt))
             if "defrec" in heads:
                 logits["defrec"] = PointMLPHead(3, self.dropout, dtype=hdt,
                                                 name="DefRec")(pp, train)

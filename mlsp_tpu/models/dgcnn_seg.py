@@ -123,9 +123,10 @@ class DGCNNSeg(nn.Module):
         x4 = nn.Dense(1024, dtype=dt)(x123)
         x5 = jnp.max(x4, axis=1).astype(jnp.float32)  # [B, 1024]
 
-        pp = jnp.concatenate(
-            [x123, jnp.broadcast_to(x5[:, None, :], (B, N, 1024))], axis=-1
-        )  # [B, N, 1216]
+        # Implicit concat [x123 | broadcast(x5)] ([B, N, 1216]); each
+        # head's first Dense runs in split form (layers.SplitDense) —
+        # the global half multiplies its kernel once per cloud.
+        pp = (x123, x5)
 
         logits = {"feat": x5}
         if "seg" in heads:

@@ -119,10 +119,9 @@ class HengshuangTransformer(nn.Module):
             ups = [taps[0][1]]
             for sxyz, sfeat in taps[1:]:
                 ups.append(feature_propagation(x, sxyz, sfeat))
-            pp = jnp.concatenate(
-                ups + [jnp.broadcast_to(pooled[:, None, :], (B, N, pooled.shape[-1]))],
-                axis=-1,
-            )
+            # Implicit concat [ups | broadcast(pooled)]; first Dense runs
+            # split (layers.SplitDense), global half per cloud.
+            pp = (jnp.concatenate(ups, axis=-1), pooled)
             h = DenseBN(256, "relu")(pp, train)
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
             h = DenseBN(128, "relu")(h, train)

@@ -26,12 +26,49 @@ def act_fn(name: str):
     raise ValueError(f"unknown activation {name!r}")
 
 
+class SplitDense(nn.Module):
+    """Dense over an implicit `concat([a, broadcast(b)], -1)` input.
+
+    Mathematically identical to `nn.Dense` applied to the concatenation
+    of per-point features a [..., N, Ca] with a per-cloud global feature
+    b [..., Cb] broadcast over N — but the global part multiplies the
+    kernel ONCE per cloud instead of once per point: the [..., N, Ca+Cb]
+    tensor is never materialized, and the b-matmul shrinks from N rows
+    to 1. For the MLSP heads (Ca=512, Cb=1024, N=1024) that removes
+    ~2/3 of the first-layer FLOPs and ~200 MB of concat traffic per
+    forward. The parameter is the SAME single [Ca+Cb, F] kernel as the
+    fused layer (same name/shape/init), so checkpoints and the torch
+    importer are unaffected.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: t.Any = None
+
+    @nn.compact
+    def __call__(self, a, b):
+        ca, cb = a.shape[-1], b.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (ca + cb, self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32) if self.use_bias else None)
+        a, b, kernel, bias = nn.dtypes.promote_dtype(
+            a, b, kernel, bias, dtype=self.dtype)
+        y = a @ kernel[:ca] + (b @ kernel[ca:])[..., None, :]
+        if bias is not None:
+            y = y + bias
+        return y
+
+
 class DenseBN(nn.Module):
     """Dense -> BatchNorm -> activation (reference `conv_2d`/`fc_layer`).
 
     `dtype` sets the compute precision of the matmul (params stay f32);
     BatchNorm statistics always run in f32 for stability. bf16 compute
     doubles MXU throughput on TPU.
+
+    `x` may be a `(per_point, global)` tuple, routed through
+    :class:`SplitDense` (same params as the fused layer).
     """
 
     features: int
@@ -42,7 +79,12 @@ class DenseBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype)(x)
+        if isinstance(x, tuple):
+            x = SplitDense(self.features, use_bias=self.use_bias,
+                           dtype=self.dtype, name="Dense_0")(*x)
+        else:
+            x = nn.Dense(self.features, use_bias=self.use_bias,
+                         dtype=self.dtype)(x)
         if self.use_bn:
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,

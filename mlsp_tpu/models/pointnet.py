@@ -40,8 +40,8 @@ class PointNet(nn.Module):
         logits = {"feat": x5}
         logits["cls"] = Classifier(self.num_classes, self.dropout, "pointnet")(x5, train)
         if "defrec" in heads:
-            pp = jnp.concatenate(
-                [x_cat, jnp.broadcast_to(x5[:, None, :], (B, N, 1024))], axis=-1
-            )
-            logits["defrec"] = PointMLPHead(3, self.dropout, name="DefRec")(pp, train)
+            # Implicit concat [x_cat | broadcast(x5)]; first Dense runs
+            # split (layers.SplitDense) so the global half is per-cloud.
+            logits["defrec"] = PointMLPHead(3, self.dropout, name="DefRec")(
+                (x_cat, x5), train)
         return logits

@@ -166,11 +166,9 @@ class PointTransformer(nn.Module):
                 [t[:, 1:] for t in taps], axis=-1
             )  # [B, G, 3*D]
             per_pt = feature_propagation(x, centers, tap_feats)  # [B, N, 3D]
-            per_pt = jnp.concatenate(
-                [per_pt, jnp.broadcast_to(feat[:, None, :], (B, N, feat.shape[-1]))],
-                axis=-1,
-            )
+            # Implicit concat [per_pt | broadcast(feat)]; first Dense
+            # runs split (layers.SplitDense), global half per cloud.
             logits["defrec"] = PointMLPHead(3, self.dropout, name="DefRec")(
-                per_pt, train
+                (per_pt, feat), train
             )
         return logits

@@ -162,3 +162,57 @@ class TestEdgeConvEquivalence:
         np.testing.assert_allclose(
             np.asarray(ga["BatchNorm_0"]["scale"]), np.asarray(gb["scale"]),
             atol=2e-3)
+
+
+class TestSplitDense:
+    """SplitDense([a | broadcast(b)]) must equal nn.Dense on the explicit
+    concat with the SAME [Ca+Cb, F] kernel — values and gradients. The
+    heads use it so the global-feature half multiplies its kernel once
+    per cloud instead of once per point."""
+
+    @pytest.mark.parametrize("use_bias", [False, True])
+    def test_matches_fused_dense(self, use_bias):
+        from flax import linen as nn
+
+        from mlsp_tpu.models.layers import SplitDense
+
+        rng = np.random.default_rng(3)
+        a = jnp.asarray(rng.standard_normal((B, N, 24)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((B, 40)), jnp.float32)
+        split = SplitDense(17, use_bias=use_bias)
+        v = split.init(jax.random.key(0), a, b)
+
+        fused = nn.Dense(17, use_bias=use_bias)
+        cat = jnp.concatenate(
+            [a, jnp.broadcast_to(b[:, None, :], (B, N, 40))], axis=-1)
+        want = fused.apply({"params": v["params"]}, cat)
+        got = split.apply(v, a, b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+        # Same init family/shapes as the fused layer.
+        vf = fused.init(jax.random.key(0), cat)
+        assert v["params"]["kernel"].shape == vf["params"]["kernel"].shape
+
+        gs = jax.grad(lambda p: jnp.sum(jnp.sin(split.apply({"params": p}, a, b))))(
+            v["params"])
+        gf = jax.grad(lambda p: jnp.sum(jnp.sin(fused.apply({"params": p}, cat))))(
+            v["params"])
+        np.testing.assert_allclose(np.asarray(gs["kernel"]),
+                                   np.asarray(gf["kernel"]), rtol=1e-4, atol=2e-4)
+
+    def test_head_tuple_input_matches_concat(self, x):
+        """A full PointMLPHead fed the (per-point, global) tuple equals the
+        same head fed the materialized concat (identical params)."""
+        from mlsp_tpu.models.layers import PointMLPHead
+
+        rng = np.random.default_rng(4)
+        a = jnp.asarray(rng.standard_normal((B, N, 32)), jnp.float32)
+        g = jnp.asarray(rng.standard_normal((B, 48)), jnp.float32)
+        cat = jnp.concatenate(
+            [a, jnp.broadcast_to(g[:, None, :], (B, N, 48))], axis=-1)
+
+        head = PointMLPHead(3)
+        v = head.init({"params": jax.random.key(0)}, (a, g), train=False)
+        got = head.apply(v, (a, g), train=False)
+        want = head.apply(v, cat, train=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
