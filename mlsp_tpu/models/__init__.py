@@ -6,6 +6,8 @@ Reference parity map:
   DGCNNSeg     <- `PointSegDA/Models.py:197-242` (DGCNN_DefRec)
   PointNet2SSG <- pointnet2_ops-based encoders (BASELINE config #3)
   PointTransformer <- `PointDA/Models.py:289-531` (group+ViT encoder)
+  PointViT     <- `PointDA/vit_utils.py:68-283` (working redesign of the
+                  reference's bit-rotted ViT variant)
 """
 
 from mlsp_tpu.models.pointnet import PointNet
@@ -34,4 +36,8 @@ def make_model(name: str, num_classes: int, **kw):
         from mlsp_tpu.models.hengshuang import HengshuangTransformer
 
         return HengshuangTransformer(num_classes=num_classes, **kw)
+    if name == "vit":
+        from mlsp_tpu.models.vit import PointViT
+
+        return PointViT(num_classes=num_classes, **kw)
     raise ValueError(f"unknown model {name!r}")

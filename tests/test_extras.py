@@ -173,7 +173,8 @@ class TestConfigYaml:
         spst = load_yaml(SPSTConfig, os.path.join(root, "spst_paper.yaml"))
         assert spst.rounds == 2 and spst.epochs == 20
         for name, model in [("pointda_pointtransformer.yaml", "point_transformer"),
-                            ("pointda_hengshuang.yaml", "hengshuang")]:
+                            ("pointda_hengshuang.yaml", "hengshuang"),
+                            ("pointda_vit.yaml", "vit")]:
             cfg = load_yaml(PointDAConfig, os.path.join(root, name))
             assert cfg.model == model
 
@@ -184,7 +185,8 @@ class TestConfigYaml:
 
         for p in pairs + [os.path.join(root, n) for n in (
                 "pointda_paper.yaml", "pointda_base.yaml",
-                "pointda_pointtransformer.yaml", "pointda_hengshuang.yaml")]:
+                "pointda_pointtransformer.yaml", "pointda_hengshuang.yaml",
+                "pointda_vit.yaml")]:
             validate_heads(load_yaml(PointDAConfig, p).resolved())
 
     def test_validate_heads_rejects_mismatch(self):

@@ -216,3 +216,36 @@ class TestSplitDense:
         got = head.apply(v, (a, g), train=False)
         want = head.apply(v, cat, train=False)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+class TestPointViT:
+    """Working redesign of the reference's bit-rotted ViT variant
+    (vit_utils.py:68-283); both group-embedder types."""
+
+    @pytest.mark.parametrize("enc", ["relative", "pointnet"])
+    def test_shapes_and_defrec(self, x, enc):
+        from mlsp_tpu.models import make_model
+
+        model = make_model("vit", 10, trans_dim=64, encoder_dims=48, depth=4,
+                           heads=2, num_group=16, group_size=8,
+                           encoder_type=enc, fetch_idx=(1, 3))
+        v, out = init_and_apply(model, x, heads=("defrec",))
+        assert out["cls"].shape == (B, 10)
+        assert out["defrec"].shape == (B, N, 3)
+        assert out["feat"].shape == (B, 2 * 64)
+        assert all(np.isfinite(np.asarray(t)).all() for t in out.values())
+
+    def test_train_mode_mutates_stats(self, x):
+        from mlsp_tpu.models import make_model
+
+        model = make_model("vit", 10, trans_dim=64, encoder_dims=48, depth=2,
+                           heads=2, num_group=16, group_size=8, fetch_idx=(1,))
+        rngs = {"params": jax.random.key(0)}
+        v = model.init(rngs, x, train=False, heads=())
+        out, mut = model.apply(
+            v, x, train=True, heads=(), rngs={"dropout": jax.random.key(1)},
+            mutable=["batch_stats"],
+        )
+        before = jax.tree_util.tree_leaves(v["batch_stats"])
+        after = jax.tree_util.tree_leaves(mut["batch_stats"])
+        assert any(not np.allclose(a, b) for a, b in zip(before, after))
