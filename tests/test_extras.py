@@ -292,7 +292,7 @@ class TestCLIConfig:
 
 class TestTransformerTrainers:
     @pytest.mark.slow
-    @pytest.mark.parametrize("model", ["point_transformer", "hengshuang"])
+    @pytest.mark.parametrize("model", ["point_transformer", "hengshuang", "vit"])
     def test_trainer_e2e(self, model, tmp_path):
         """Both transformer backbones run the FULL PointDA trainer loop
         (DefRec SSL head, eval, checkpointing) on synthetic data."""
