@@ -80,6 +80,64 @@ class RelativeGroupEncoder(nn.Module):
         return jnp.max(h, axis=-2)  # [B, G, dim]
 
 
+class DgcnnGroupEncoder(nn.Module):
+    """`Dgcnn_Encoder` (`model_utils.py:401-452`): a full DGCNN run per
+    group — input T-net on edge features, 4 EdgeConv layers 64/64/128/256,
+    a 512->dim lift, max-pool per group. Groups fold into the batch axis;
+    k is clipped to the group size."""
+
+    dim: int = 384
+    k: int = 20
+
+    @nn.compact
+    def __call__(self, rel, train: bool):
+        from mlsp_tpu.models.dgcnn import EdgeConv
+        from mlsp_tpu.models.layers import DenseBN, TransformNet
+        from mlsp_tpu.ops.knn import edge_features, knn_indices
+
+        B, G, M, _ = rel.shape
+        x = rel.reshape(B * G, M, 3)
+        k = min(self.k, M)
+
+        idx0 = knn_indices(x, k)
+        T = TransformNet(out=3, mode="dgcnn")(edge_features(x, idx0), train)
+        x = jnp.einsum("bnc,bdc->bnd", x, T)
+
+        feats = []
+        for width in (64, 64, 128, 256):
+            x = EdgeConv(width)(x, knn_indices(x, k), train)
+            feats.append(x)
+        x = DenseBN(self.dim, "leakyrelu", use_bias=False)(
+            jnp.concatenate(feats, axis=-1), train)
+        return jnp.max(x, axis=-2).reshape(B, G, self.dim)
+
+
+class PointnetGroupEncoder(nn.Module):
+    """`Pointnet_Encoder` (`model_utils.py:454-507`): a PointNet run per
+    group — two T-nets (3x3 input, 64x64 feature), convs 64/64/64/128/dim,
+    max-pool per group. Groups fold into the batch axis."""
+
+    dim: int = 384
+
+    @nn.compact
+    def __call__(self, rel, train: bool):
+        from mlsp_tpu.models.layers import DenseBN, TransformNet
+
+        B, G, M, _ = rel.shape
+        x = rel.reshape(B * G, M, 3)
+
+        T1 = TransformNet(out=3, mode="pointnet")(x, train)
+        x = jnp.einsum("bnc,bcd->bnd", x, T1)
+        x = DenseBN(64, "relu")(x, train)
+        x2 = DenseBN(64, "relu")(x, train)
+        T2 = TransformNet(out=64, mode="pointnet", name="trans_net2")(x2, train)
+        x = jnp.einsum("bnc,bcd->bnd", x2, T2)
+        x = DenseBN(64, "relu")(x, train)
+        x = DenseBN(128, "relu")(x, train)
+        x = DenseBN(self.dim, "relu")(x, train)
+        return jnp.max(x, axis=-2).reshape(B, G, self.dim)
+
+
 class PointViT(nn.Module):
     """Working redesign of the reference ViT variant (see module doc)."""
 
@@ -101,10 +159,17 @@ class PointViT(nn.Module):
         start = jnp.zeros((B,), jnp.int32) if rng_start is None else rng_start
         rel, centers = group_points_knn(x, self.num_group, self.group_size,
                                         start)
+        # Reference encoder_type map (vit_utils.py:95-103): "relative" ->
+        # Relative_Encoder, "pointnet" -> Encoder, "dgcnn" ->
+        # Dgcnn_Encoder, "pointnet_tnet" -> Pointnet_Encoder.
         if self.encoder_type == "relative":
             tokens = RelativeGroupEncoder(self.encoder_dims)(rel, centers, train)
         elif self.encoder_type == "pointnet":
             tokens = GroupEncoder(self.encoder_dims)(rel, train)
+        elif self.encoder_type == "dgcnn":
+            tokens = DgcnnGroupEncoder(self.encoder_dims)(rel, train)
+        elif self.encoder_type == "pointnet_tnet":
+            tokens = PointnetGroupEncoder(self.encoder_dims)(rel, train)
         else:
             raise ValueError(f"unknown encoder_type {self.encoder_type!r}")
         tokens = nn.Dense(self.trans_dim, name="reduce_dim")(tokens)

@@ -222,7 +222,7 @@ class TestPointViT:
     """Working redesign of the reference's bit-rotted ViT variant
     (vit_utils.py:68-283); both group-embedder types."""
 
-    @pytest.mark.parametrize("enc", ["relative", "pointnet"])
+    @pytest.mark.parametrize("enc", ["relative", "pointnet", "dgcnn", "pointnet_tnet"])
     def test_shapes_and_defrec(self, x, enc):
         from mlsp_tpu.models import make_model
 
