@@ -68,7 +68,9 @@ def _to_config(cls, args: argparse.Namespace):
 
 def main(argv=None) -> int:
     from mlsp_tpu.utils.cache import enable as enable_cache
-    from mlsp_tpu.utils.config import PointDAConfig, PointSegDAConfig, SPSTConfig
+    from mlsp_tpu.utils.config import (
+        EvalConfig, PointDAConfig, PointSegDAConfig, SPSTConfig,
+    )
 
     parser = argparse.ArgumentParser(
         prog="mlsp_tpu", description="TPU-native MLSP point-cloud DA framework"
@@ -100,6 +102,11 @@ def main(argv=None) -> int:
     p_seg.add_argument("--mesh_points", type=int, default=1,
                        help="points-sharding mesh axis size")
 
+    p_eval = sub.add_parser(
+        "eval", help="evaluate a checkpoint (native .ckpt or reference "
+                     "model.pt via --from_torch) on a dataset split")
+    _add_config_args(p_eval, EvalConfig)
+
     args = parser.parse_args(argv)
     enable_cache()
 
@@ -112,39 +119,33 @@ def main(argv=None) -> int:
 
         jax.distributed.initialize()
 
+    def _mesh_from_args():
+        if not (args.mesh_data or args.mesh_points > 1):
+            return None
+        from mlsp_tpu.parallel import make_mesh
+
+        return make_mesh(data=args.mesh_data or None, points=args.mesh_points)
+
     if args.command == "trainer":
         from mlsp_tpu.train.pointda_trainer import train_pointda
 
         cfg = _to_config(PointDAConfig, args)
         if args.paper_recipe:
             cfg = cfg.paper_recipe
-        mesh = None
-        if args.mesh_data or args.mesh_points > 1:
-            from mlsp_tpu.parallel import make_mesh
-
-            mesh = make_mesh(data=args.mesh_data or None,
-                             points=args.mesh_points)
-        train_pointda(cfg, mesh=mesh)
+        train_pointda(cfg, mesh=_mesh_from_args())
     elif args.command == "spst":
         from mlsp_tpu.train.spst import train_spst
 
-        mesh = None
-        if args.mesh_data or args.mesh_points > 1:
-            from mlsp_tpu.parallel import make_mesh
-
-            mesh = make_mesh(data=args.mesh_data or None,
-                             points=args.mesh_points)
-        train_spst(_to_config(SPSTConfig, args), mesh=mesh)
+        train_spst(_to_config(SPSTConfig, args), mesh=_mesh_from_args())
     elif args.command == "seg":
         from mlsp_tpu.train.pointsegda_trainer import train_pointsegda
 
-        mesh = None
-        if args.mesh_data or args.mesh_points > 1:
-            from mlsp_tpu.parallel import make_mesh
+        train_pointsegda(_to_config(PointSegDAConfig, args),
+                         mesh=_mesh_from_args())
+    elif args.command == "eval":
+        from mlsp_tpu.train.evaluation import run_eval
 
-            mesh = make_mesh(data=args.mesh_data or None,
-                             points=args.mesh_points)
-        train_pointsegda(_to_config(PointSegDAConfig, args), mesh=mesh)
+        run_eval(_to_config(EvalConfig, args))
     return 0
 
 

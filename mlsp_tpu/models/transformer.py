@@ -59,7 +59,13 @@ def feature_propagation(xyz_dst, xyz_src, feats_src, k: int = 3):
 
 
 class GroupEncoder(nn.Module):
-    """Mini-PointNet group embedder (`Encoder`, `model_utils.py:292-330`)."""
+    """Mini-PointNet group embedder (`Encoder`, `model_utils.py:292-336`).
+
+    Three stages, matching the reference with its hardcoded
+    ``addconv=True`` (`model_utils.py:302-309`): first_conv (3->128->256),
+    add_conv1 (concat global -> 512->512->256), second_conv (concat
+    global -> 512->512->dim), max-pool per group.
+    """
 
     dim: int = 384
 
@@ -68,16 +74,20 @@ class GroupEncoder(nn.Module):
         # neigh: [B, G, M, 3]
         h = DenseBN(128, "relu")(neigh, train)
         h = nn.Dense(256)(h)
-        g = jnp.max(h, axis=-2, keepdims=True)  # [B, G, 1, 256]
-        # Dense over concat([broadcast(g), h]) expressed as the sum of two
-        # matmuls: identical algebra, skips materialising the 512-wide
-        # concat, and avoids a Mosaic compiler abort on the
-        # broadcast->concat->matmul fusion (seen on v5e remote compile).
-        z = nn.Dense(512)(g) + nn.Dense(512, use_bias=False)(h)
-        z = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(z)
-        z = nn.relu(z)
-        z = nn.Dense(self.dim)(z)
+
+        def stage(h, out):
+            g = jnp.max(h, axis=-2, keepdims=True)  # [B, G, 1, 256]
+            # Dense over concat([broadcast(g), h]) expressed as the sum of
+            # two matmuls: identical algebra, skips materialising the
+            # 512-wide concat, and avoids a Mosaic compiler abort on the
+            # broadcast->concat->matmul fusion (seen on v5e remote compile).
+            z = nn.Dense(512)(g) + nn.Dense(512, use_bias=False)(h)
+            z = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5)(z)
+            return nn.Dense(out)(nn.relu(z))
+
+        h = stage(h, 256)  # add_conv1 (`model_utils.py:303-309,331-334`)
+        z = stage(h, self.dim)  # second_conv
         return jnp.max(z, axis=-2)  # [B, G, dim]
 
 

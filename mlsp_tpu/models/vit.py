@@ -9,10 +9,14 @@ code *intended*, as a working TPU-native model:
 
   * Group (FPS centers + kNN neighbourhoods) — shared with
     :class:`~mlsp_tpu.models.transformer.PointTransformer`;
-  * a selectable group embedder: "pointnet" (the plain `Encoder`,
-    `model_utils.py:292-336`) or "relative" (`Relative_Encoder`,
-    `model_utils.py:338-399`: center-relative coords re-concatenated
-    before every conv stage — the 515 = 512+3 channel quirk);
+  * a selectable group embedder mirroring the reference's four-way map
+    (`vit_utils.py:95-103`): "pointnet" (the plain `Encoder`,
+    `model_utils.py:292-336`, incl. its hardcoded `add_conv1` stage),
+    "relative" (`Relative_Encoder`, `model_utils.py:338-399`:
+    center-relative coords re-concatenated before every conv stage —
+    the 515 = 512+3 channel quirk), "dgcnn" (`Dgcnn_Encoder`,
+    `model_utils.py:401-452`), and "pointnet_tnet" (`Pointnet_Encoder`,
+    `model_utils.py:454-507`);
   * a `reduce_dim` bridge (`vit_utils.py:106`);
   * ViT blocks with the positional embedding RE-ADDED at every block
     (`vit_utils.py:206` — the variant's distinguishing quirk vs
@@ -149,12 +153,24 @@ class PointViT(nn.Module):
     num_group: int = 64
     group_size: int = 32
     dropout: float = 0.5
-    encoder_type: str = "relative"  # "relative" | "pointnet"
+    # "relative" | "pointnet" | "dgcnn" | "pointnet_tnet"
+    # (the reference's encoder_type map, vit_utils.py:95-103)
+    encoder_type: str = "relative"
+    # Feed absolute coords alongside relative ones to the "relative"
+    # embedder's first stage (the reference's `use_obsolute` 6-channel
+    # path, model_utils.py:345-351).
+    use_absolute: bool = False
     fetch_idx: tuple[int, ...] = (3, 7, 11)
 
     @nn.compact
     def __call__(self, x, train: bool = False, heads: tuple[str, ...] = (),
                  rng_start=None):
+        bad = [i for i in self.fetch_idx if i >= self.depth]
+        if bad:
+            raise ValueError(
+                f"fetch_idx {bad} out of range for depth={self.depth}; "
+                "set fetch_idx explicitly when reducing depth"
+            )
         B, N, _ = x.shape
         start = jnp.zeros((B,), jnp.int32) if rng_start is None else rng_start
         rel, centers = group_points_knn(x, self.num_group, self.group_size,
@@ -163,7 +179,9 @@ class PointViT(nn.Module):
         # Relative_Encoder, "pointnet" -> Encoder, "dgcnn" ->
         # Dgcnn_Encoder, "pointnet_tnet" -> Pointnet_Encoder.
         if self.encoder_type == "relative":
-            tokens = RelativeGroupEncoder(self.encoder_dims)(rel, centers, train)
+            tokens = RelativeGroupEncoder(
+                self.encoder_dims, use_absolute=self.use_absolute
+            )(rel, centers, train)
         elif self.encoder_type == "pointnet":
             tokens = GroupEncoder(self.encoder_dims)(rel, train)
         elif self.encoder_type == "dgcnn":

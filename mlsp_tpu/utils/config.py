@@ -157,6 +157,7 @@ class PointSegDAConfig:
     dataroot: str = "./data/PointSegDAdataset"
     src_dataset: str = "adobe"
     trgt_dataset: str = "faust"
+    model: str = "dgcnn_seg"  # "dgcnn_seg" | "hengshuang_seg"
     epochs: int = 200
     seed: int = 1
     num_class: int = 8
@@ -200,6 +201,38 @@ class PointSegDAConfig:
         return dataclasses.replace(self, density_radius=r, density_num_class=16)
 
 
+@dataclass(frozen=True)
+class EvalConfig:
+    """Standalone checkpoint evaluation (`mlsp-tpu eval`).
+
+    The reference has no equivalent entry point — its `test()` lives
+    inside the trainers (`PointDA/trainer.py:298-331`); loading a saved
+    `model.pt` requires running `train_spst.py`.
+    """
+
+    exp_name: str = "EVAL"
+    out_path: str = "./experiments"
+    dataroot: str = "./data"
+    task: str = "pointda"  # "pointda" | "pointsegda"
+    dataset: str = "scannet"
+    split: str = "test"  # "train" | "val" | "test"
+    model: str = "dgcnn"  # pointda: any make_model name; seg: dgcnn_seg
+    model_file: str = ""  # native .ckpt, or reference model.pt with --from_torch
+    from_torch: bool = False  # import a reference torch state_dict
+    seed: int = 1
+    num_class: int = 10
+    num_points: int = 1024
+    test_batch_size: int = 32
+    dropout: float = 0.5
+    density_num_class: int = 16
+    pergroup: float = 2.0
+    knn_backend: str = "auto"
+    compute_dtype: str = "f32"
+    head_dtype: str = ""
+    gather_dtype: str = ""
+    synthetic: bool = False
+
+
 def model_heads(model: str) -> tuple[str, ...]:
     """SSL heads a backbone provides (cf. the reference's activate_*
     flags: only DGCNN carries normal/scan/density heads)."""
@@ -207,6 +240,41 @@ def model_heads(model: str) -> tuple[str, ...]:
         ("defrec", "normal", "scan", "density") if model == "dgcnn"
         else ("defrec",)
     )
+
+
+def seg_model_heads(model: str) -> tuple[str, ...]:
+    """Heads a PointSegDA backbone provides: the reference DGCNN_DefRec
+    carries all four (`PointSegDA/Models.py:213-242`); the hengshuang
+    seg variant has seg + DefRec only (`hengshuang_model.py:99-139`)."""
+    return (
+        ("seg", "defrec", "normal", "density") if model == "dgcnn_seg"
+        else ("seg", "defrec")
+    )
+
+
+def validate_seg_heads(cfg) -> tuple[str, ...]:
+    """`validate_heads` for the seg task (cf. `_seg_step_inner`)."""
+    available = seg_model_heads(cfg.model)
+    needed = {"seg"}
+    if cfg.DefRec_on_trgt:
+        needed.add("defrec")
+    if cfg.Norm_on_trgt:
+        needed.add("normal")
+    if cfg.Density_on_trgt:
+        needed.add("density")
+    # The combined branch forwards through all three heads regardless of
+    # the *_ondef flags (`_seg_step_inner` -> `_apply(..., ("defrec",
+    # "normal", "density"), ...)`).
+    if cfg.Density_normal_viainput:
+        needed.update({"defrec", "normal", "density"})
+    missing = needed - set(available)
+    if missing:
+        raise ValueError(
+            f"seg model {cfg.model!r} has no {sorted(missing)} head(s) but "
+            f"the config enables SSL branches that need them — use "
+            f"--model dgcnn_seg or disable those flags"
+        )
+    return available
 
 
 def validate_heads(cfg) -> tuple[str, ...]:

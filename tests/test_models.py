@@ -235,6 +235,25 @@ class TestPointViT:
         assert out["feat"].shape == (B, 2 * 64)
         assert all(np.isfinite(np.asarray(t)).all() for t in out.values())
 
+    def test_use_absolute_relative_encoder(self, x):
+        from mlsp_tpu.models import make_model
+
+        model = make_model("vit", 10, trans_dim=64, encoder_dims=48, depth=2,
+                           heads=2, num_group=16, group_size=8,
+                           encoder_type="relative", use_absolute=True,
+                           fetch_idx=(1,))
+        _, out = init_and_apply(model, x)
+        assert out["cls"].shape == (B, 10)
+        assert np.isfinite(np.asarray(out["cls"])).all()
+
+    def test_fetch_idx_validated_against_depth(self, x):
+        from mlsp_tpu.models import make_model
+
+        model = make_model("vit", 10, trans_dim=64, encoder_dims=48, depth=2,
+                           heads=2, num_group=16, group_size=8)  # default (3,7,11)
+        with pytest.raises(ValueError, match="fetch_idx"):
+            model.init({"params": jax.random.key(0)}, x, train=False, heads=())
+
     def test_train_mode_mutates_stats(self, x):
         from mlsp_tpu.models import make_model
 
