@@ -36,6 +36,10 @@ def make_model(name: str, num_classes: int, **kw):
         from mlsp_tpu.models.hengshuang import HengshuangTransformer
 
         return HengshuangTransformer(num_classes=num_classes, **kw)
+    if name == "hengshuang_seg":
+        from mlsp_tpu.models.hengshuang import HengshuangSeg
+
+        return HengshuangSeg(num_classes=num_classes, **kw)
     if name == "vit":
         from mlsp_tpu.models.vit import PointViT
 

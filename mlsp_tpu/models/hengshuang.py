@@ -1,15 +1,17 @@
-"""Hengshuang-style Point Transformer (vector attention over kNN).
+"""Hengshuang-style Point Transformer family (vector attention over kNN).
 
-TPU-native port of `PointDA/hengshuang_transformer/` (model at
+TPU-native port of `PointDA/hengshuang_transformer/` (models at
 `hengshuang_model.py:1-211`, vector-attention block at
 `transformer.py:7-44`, set-abstraction utilities at
 `pointnet_util.py:1-311` — the reference's pure-torch FPS/kNN path):
 
-  Backbone: per-point MLP -> TransformerBlock, then `nblocks` x
-  [TransitionDown (FPS + kNN set abstraction) -> TransformerBlock].
-  Cls head on the mean of the final tokens; a DefRec variant propagates
-  multi-scale features back to all points (TransitionUp analog) for the
-  per-point reconstruction head.
+  * `HengshuangTransformer` — `PointTransformerCls` (`hengshuang_model.py:79-97`)
+    with the `PointTransformerDef` DefRec branch (`:140-206`): the full
+    TransitionUp U-Net decoder back to all points, then a reconstruction
+    head on [per-point 32-d ; broadcast global] (`RegionReconstruction(32+512)`).
+  * `HengshuangSeg` — `PointTransformerSeg` (`hengshuang_model.py:99-139`):
+    same decoder, per-point class logits via fc3; carries the DefRec head
+    too so it can drive the PointSegDA trainer's SSL branch.
 
 Vector attention (per point i over its k neighbours j):
   q_i, k_j, v_j = linear(x);  delta_ij = mlp(p_i - p_j)
@@ -18,8 +20,6 @@ Vector attention (per point i over its k neighbours j):
 """
 
 from __future__ import annotations
-
-import typing as t
 
 import jax
 import jax.numpy as jnp
@@ -59,7 +59,9 @@ class VectorAttention(nn.Module):
 
         gamma_in = q[:, :, None, :] - k_j + delta
         gamma = nn.Dense(self.d_model)(nn.relu(nn.Dense(self.d_model)(gamma_in)))
-        attn = jax.nn.softmax(gamma, axis=-2)  # over neighbours, per channel
+        # Per-channel softmax over neighbours, logits scaled by
+        # 1/sqrt(d_model) (`transformer.py:42`: `attn / np.sqrt(k.size(-1))`).
+        attn = jax.nn.softmax(gamma / jnp.sqrt(self.d_model), axis=-2)
         y = jnp.sum(attn * (v_j + delta), axis=-2)
         return nn.Dense(C)(y) + pre  # fc2 + residual
 
@@ -83,19 +85,36 @@ class TransitionDown(nn.Module):
         return centers, jnp.max(g, axis=-2)
 
 
-class HengshuangTransformer(nn.Module):
-    """`PointTransformerCls` (+ optional DefRec branch)."""
+class TransitionUp(nn.Module):
+    """`TransitionUp` (`hengshuang_model.py:16-47`): project both scales
+    to `dim_out` (Linear+BN+ReLU), 3-NN inverse-distance interpolate the
+    coarse one onto the fine points, sum."""
 
-    num_classes: int = 10
-    nblocks: int = 4
-    nneighbor: int = 16
-    d_model: int = 128  # transformer_dim in the reference yaml
-    base_dim: int = 32
-    dropout: float = 0.5
+    dim_out: int
 
     @nn.compact
-    def __call__(self, x, train: bool = False, heads: tuple[str, ...] = ()):
-        B, N, _ = x.shape
+    def __call__(self, xyz_c, f_c, xyz_f, f_f, train: bool):
+        f1 = DenseBN(self.dim_out, "relu")(f_c, train)
+        f2 = DenseBN(self.dim_out, "relu")(f_f, train)
+        return feature_propagation(xyz_f, xyz_c, f1) + f2
+
+
+class Backbone(nn.Module):
+    """`Backbone` (`hengshuang_model.py:49-77`): per-point MLP +
+    TransformerBlock, then `nblocks` x [TransitionDown -> TransformerBlock].
+
+    Returns the list of (xyz, feats) per scale — [0] the full cloud at
+    `base_dim` channels, [i] the i-th downsampling at base_dim * 2**i.
+    """
+
+    nblocks: int = 4
+    nneighbor: int = 16
+    d_model: int = 128
+    base_dim: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        N = x.shape[1]
         feats = nn.Dense(self.base_dim)(nn.relu(nn.Dense(self.base_dim)(x)))
         feats = VectorAttention(self.d_model, self.nneighbor)(x, feats, train)
 
@@ -106,6 +125,52 @@ class HengshuangTransformer(nn.Module):
             xyz, feats = TransitionDown(npoint, self.nneighbor, ch)(xyz, feats, train)
             feats = VectorAttention(self.d_model, self.nneighbor)(xyz, feats, train)
             taps.append((xyz, feats))
+        return taps
+
+
+class UpDecoder(nn.Module):
+    """The seg/Def U-Net decoder (`hengshuang_model.py:104-139,145-206`):
+    fc2 MLP + TransformerBlock at the coarsest scale, then per level
+    TransitionUp -> TransformerBlock back to the full cloud."""
+
+    nblocks: int = 4
+    nneighbor: int = 16
+    d_model: int = 128
+    base_dim: int = 32
+
+    @nn.compact
+    def __call__(self, taps, train: bool):
+        xyz, feats = taps[-1]
+        ch_last = self.base_dim * 2 ** self.nblocks
+        # fc2: plain Linear/ReLU stack (no BN), hengshuang_model.py:104-110.
+        h = nn.relu(nn.Dense(512)(feats))
+        h = nn.relu(nn.Dense(512)(h))
+        h = nn.Dense(ch_last)(h)
+        feats = VectorAttention(self.d_model, self.nneighbor)(xyz, h, train)
+        for i in reversed(range(self.nblocks)):
+            ch = self.base_dim * 2 ** i
+            xyz_f, f_f = taps[i]
+            feats = TransitionUp(ch)(xyz, feats, xyz_f, f_f, train)
+            feats = VectorAttention(self.d_model, self.nneighbor)(xyz_f, feats, train)
+            xyz = xyz_f
+        return feats  # [B, N, base_dim]
+
+
+class HengshuangTransformer(nn.Module):
+    """`PointTransformerCls` + the `PointTransformerDef` DefRec branch."""
+
+    num_classes: int = 10
+    nblocks: int = 4
+    nneighbor: int = 16
+    d_model: int = 128  # transformer_dim in the reference yaml
+    base_dim: int = 32
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, heads: tuple[str, ...] = ()):
+        taps = Backbone(self.nblocks, self.nneighbor, self.d_model,
+                        self.base_dim)(x, train)
+        feats = taps[-1][1]
 
         pooled = jnp.mean(feats, axis=1)
         h = nn.relu(nn.Dense(256)(pooled))
@@ -114,16 +179,52 @@ class HengshuangTransformer(nn.Module):
         logits = {"feat": pooled, "cls": nn.Dense(self.num_classes)(h)}
 
         if "defrec" in heads:
-            # TransitionUp analog: interpolate every scale back to the
-            # full cloud and concatenate (hengshuang PointTransformerDef).
-            ups = [taps[0][1]]
-            for sxyz, sfeat in taps[1:]:
-                ups.append(feature_propagation(x, sxyz, sfeat))
-            # Implicit concat [ups | broadcast(pooled)]; first Dense runs
-            # split (layers.SplitDense), global half per cloud.
-            pp = (jnp.concatenate(ups, axis=-1), pooled)
+            # PointTransformerDef (`hengshuang_model.py:188-206`): full
+            # U-Net decode, then RegionReconstruction on the implicit
+            # concat [per-point 32-d | broadcast global]; first Dense
+            # runs split (layers.SplitDense), global half per cloud.
+            per_pt = UpDecoder(self.nblocks, self.nneighbor, self.d_model,
+                               self.base_dim)(taps, train)
+            pp = (per_pt, pooled)
             h = DenseBN(256, "relu")(pp, train)
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
             h = DenseBN(128, "relu")(h, train)
             logits["defrec"] = nn.Dense(3)(h)
+        return logits
+
+
+class HengshuangSeg(nn.Module):
+    """`PointTransformerSeg` (`hengshuang_model.py:99-139`) with the Def
+    branch's reconstruction head attached, so it can serve as a
+    PointSegDA backbone (`--model hengshuang_seg`)."""
+
+    num_classes: int = 8
+    nblocks: int = 4
+    nneighbor: int = 16
+    d_model: int = 128
+    base_dim: int = 32
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, heads: tuple[str, ...] = ()):
+        taps = Backbone(self.nblocks, self.nneighbor, self.d_model,
+                        self.base_dim)(x, train)
+        pooled = jnp.mean(taps[-1][1], axis=1)
+        per_pt = UpDecoder(self.nblocks, self.nneighbor, self.d_model,
+                           self.base_dim)(taps, train)
+
+        # Heads are gated, so every layer is explicitly named — flax
+        # auto-numbering would shift between head subsets otherwise.
+        logits = {"feat": pooled}
+        if not heads or "seg" in heads:
+            # fc3 (`hengshuang_model.py:120-126`): per-point Linear stack.
+            h = nn.relu(nn.Dense(64, name="seg_fc1")(per_pt))
+            h = nn.relu(nn.Dense(64, name="seg_fc2")(h))
+            logits["seg"] = nn.Dense(self.num_classes, name="seg_out")(h)
+        if "defrec" in heads:
+            pp = (per_pt, pooled)
+            h = DenseBN(256, "relu", name="def_fc1")(pp, train)
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+            h = DenseBN(128, "relu", name="def_fc2")(h, train)
+            logits["defrec"] = nn.Dense(3, name="def_out")(h)
         return logits

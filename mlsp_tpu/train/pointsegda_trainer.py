@@ -83,19 +83,27 @@ def train_pointsegda(cfg: PointSegDAConfig, io: IOStream | None = None,
     bsz = min(len(src_train), len(trgt_train), cfg.batch_size)
     steps_per_epoch = min(len(src_train), len(trgt_train)) // bsz
 
-    model = DGCNNSeg(
-        num_classes=cfg.num_class, dropout=cfg.dropout,
-        density_num_cls=cfg.density_num_class, pergroup=cfg.pergroup,
-        knn_backend=cfg.knn_backend,
-        dtype=jnp.bfloat16 if cfg.compute_dtype == "bf16" else None,
-    )
+    from mlsp_tpu.utils.config import validate_seg_heads
+
+    all_heads = validate_seg_heads(cfg)
+    if cfg.model == "dgcnn_seg":
+        model = DGCNNSeg(
+            num_classes=cfg.num_class, dropout=cfg.dropout,
+            density_num_cls=cfg.density_num_class, pergroup=cfg.pergroup,
+            knn_backend=cfg.knn_backend,
+            dtype=jnp.bfloat16 if cfg.compute_dtype == "bf16" else None,
+        )
+    else:
+        from mlsp_tpu.models import make_model
+
+        model = make_model(cfg.model, cfg.num_class, dropout=cfg.dropout)
     N = src_train.data.shape[1]
     sample = jnp.zeros((bsz, N, 3), jnp.float32)
     key, ik = jax.random.split(key)
     state = create_train_state(
         model, ik, sample, optimizer=cfg.optimizer, lr=cfg.lr, wd=cfg.wd,
         momentum=cfg.momentum, epochs=cfg.epochs, steps_per_epoch=steps_per_epoch,
-        heads=("seg", "defrec", "normal", "density"),
+        heads=all_heads,
     )
 
     from mlsp_tpu.utils.summary import model_summary

@@ -274,6 +274,33 @@ class TestHengshuang:
         assert out["defrec"].shape == (2, 128, 3)
         assert bool(jnp.isfinite(out["cls"]).all())
 
+    def test_seg_variant_shapes(self, rng):
+        """`PointTransformerSeg` analog: per-point logits + DefRec."""
+        from mlsp_tpu.models import make_model
+        from mlsp_tpu.models.hengshuang import HengshuangSeg
+
+        m = make_model("hengshuang_seg", 8, nblocks=2, nneighbor=8,
+                       d_model=32, base_dim=16)
+        assert isinstance(m, HengshuangSeg)
+        x = jnp.asarray(rng.standard_normal((2, 128, 3)), jnp.float32)
+        v = jax.jit(
+            lambda r, xx: m.init({"params": r}, xx, train=False,
+                                 heads=("seg", "defrec"))
+        )(jax.random.key(0), x)
+        out = m.apply(v, x, train=False, heads=("seg", "defrec"))
+        assert out["seg"].shape == (2, 128, 8)
+        assert out["defrec"].shape == (2, 128, 3)
+        assert bool(jnp.isfinite(out["seg"]).all())
+
+    def test_validate_seg_heads(self):
+        from mlsp_tpu.utils.config import PointSegDAConfig, validate_seg_heads
+
+        ok = PointSegDAConfig(model="hengshuang_seg")  # DefRec_on_trgt only
+        assert validate_seg_heads(ok) == ("seg", "defrec")
+        bad = PointSegDAConfig(model="hengshuang_seg", Norm_on_trgt=True)
+        with pytest.raises(ValueError, match="normal"):
+            validate_seg_heads(bad)
+
 
 class TestCLIConfig:
     def test_yaml_config_run(self, tmp_path):
@@ -288,6 +315,69 @@ class TestCLIConfig:
         assert rc == 0
         assert (tmp_path / "ycfg" / "run.log").exists()
         assert (tmp_path / "ycfg" / "Target_test_conf_mat.csv").exists()
+
+
+class TestEvalCLI:
+    def test_eval_after_training(self, tmp_path):
+        """Train tiny -> `mlsp-tpu eval` the saved checkpoint standalone."""
+        from mlsp_tpu.cli import main
+
+        rc = main([
+            "trainer", "--synthetic", "1", "--epochs", "1", "--batch_size",
+            "8", "--num_points", "64", "--model", "pointnet", "--apply_PCM",
+            "0", "--test_batch_size", "8", "--out_path", str(tmp_path),
+            "--exp_name", "pre",
+        ])
+        assert rc == 0
+        ckpt = tmp_path / "pre" / "model.ckpt"
+        assert ckpt.exists()
+        rc = main([
+            "eval", "--model_file", str(ckpt), "--model", "pointnet",
+            "--dataset", "scannet", "--split", "test", "--synthetic", "1",
+            "--num_points", "64", "--test_batch_size", "8",
+            "--out_path", str(tmp_path), "--exp_name", "ev",
+        ])
+        assert rc == 0
+        log = (tmp_path / "ev" / "run.log").read_text()
+        assert '"acc"' in log and '"balanced_acc"' in log
+        assert (tmp_path / "ev" / "Eval_eval_conf_mat.csv").exists()
+
+    def test_eval_seg_task(self, tmp_path):
+        """run_eval drives the segmentation eval from a saved state."""
+        import jax
+        import jax.numpy as jnp
+
+        from mlsp_tpu.models import DGCNNSeg
+        from mlsp_tpu.train.evaluation import run_eval
+        from mlsp_tpu.train.state import create_train_state
+        from mlsp_tpu.utils import checkpoint
+        from mlsp_tpu.utils.config import EvalConfig
+
+        model = DGCNNSeg(num_classes=8, knn_backend="xla")
+        sample = jnp.zeros((4, 64, 3), jnp.float32)
+        state = create_train_state(
+            model, jax.random.key(0), sample,
+            heads=("seg", "defrec", "normal", "density"))
+        path = str(tmp_path / "seg.ckpt")
+        checkpoint.save_train_state(path, state, 0, {})
+        r = run_eval(EvalConfig(
+            task="pointsegda", dataset="faust", split="test", synthetic=True,
+            model="dgcnn_seg", model_file=path, num_class=8, num_points=64,
+            test_batch_size=4, out_path=str(tmp_path), exp_name="segev",
+        ))
+        assert set(r) == {"dataset", "split", "loss", "miou", "acc"}
+        assert 0.0 <= r["miou"] <= 1.0
+
+    def test_eval_missing_file_raises(self, tmp_path):
+        from mlsp_tpu.train.evaluation import run_eval
+        from mlsp_tpu.utils.config import EvalConfig
+
+        with pytest.raises(FileNotFoundError):
+            run_eval(EvalConfig(
+                model_file=str(tmp_path / "nope.ckpt"), synthetic=True,
+                num_points=64, test_batch_size=8, out_path=str(tmp_path),
+                exp_name="missing",
+            ))
 
 
 class TestTransformerTrainers:

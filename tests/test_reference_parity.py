@@ -344,6 +344,59 @@ class TestForwardEquivalence:
             want["density_mse"].numpy(), rtol=1e-4, atol=1e-4)
 
 
+class TestHengshuangBlock:
+    """`VectorAttention` vs the reference's own `TransformerBlock`
+    (`hengshuang_transformer/transformer.py:7-44`, pure torch) with
+    copied weights — catches softmax-scaling/pos-encoding misreadings."""
+
+    def test_vector_attention_matches_reference(self, rng):
+        ref_tr = pytest.importorskip(
+            "PointDA.hengshuang_transformer.transformer")
+        from mlsp_tpu.models.hengshuang import VectorAttention
+
+        B, N, C, D, k = 2, 48, 16, 24, 8
+        torch.manual_seed(3)
+        ref = ref_tr.TransformerBlock(C, D, k).eval()
+        xyz = rng.standard_normal((B, N, 3)).astype(np.float32)
+        feats = rng.standard_normal((B, N, C)).astype(np.float32)
+        with torch.no_grad():
+            want, _ = ref(_t(xyz), _t(feats))
+
+        sd = ref.state_dict()
+
+        def kern(name):
+            return jnp.asarray(sd[name + ".weight"].numpy().T)
+
+        def bias(name):
+            return jnp.asarray(sd[name + ".bias"].numpy())
+
+        # VectorAttention Dense construction order: fc1, w_qs, w_ks, w_vs,
+        # fc_delta (OUTER first — in `f(g(x))` Python constructs f before
+        # g, and flax numbers by construction), fc_gamma (outer, inner),
+        # fc2.
+        params = {
+            "Dense_0": {"kernel": kern("fc1"), "bias": bias("fc1")},
+            "Dense_1": {"kernel": kern("w_qs")},
+            "Dense_2": {"kernel": kern("w_ks")},
+            "Dense_3": {"kernel": kern("w_vs")},
+            "Dense_4": {"kernel": kern("fc_delta.2"), "bias": bias("fc_delta.2")},
+            "Dense_5": {"kernel": kern("fc_delta.0"), "bias": bias("fc_delta.0")},
+            "Dense_6": {"kernel": kern("fc_gamma.2"), "bias": bias("fc_gamma.2")},
+            "Dense_7": {"kernel": kern("fc_gamma.0"), "bias": bias("fc_gamma.0")},
+            "Dense_8": {"kernel": kern("fc2"), "bias": bias("fc2")},
+        }
+        m = VectorAttention(D, k)
+        ref_shapes = jax.tree_util.tree_map(
+            jnp.shape,
+            m.init({"params": jax.random.key(0)}, jnp.asarray(xyz),
+                   jnp.asarray(feats), False)["params"])
+        assert ref_shapes == jax.tree_util.tree_map(jnp.shape, params)
+        got = m.apply({"params": params}, jnp.asarray(xyz),
+                      jnp.asarray(feats), False)
+        np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                                   rtol=1e-4, atol=1e-4)
+
+
 class TestImportDiagnostics:
     """Missing/unexpected/shape reporting parity with the reference's
     `utils/checkpoint.py:16-134`."""

@@ -68,6 +68,16 @@ class TestSegStep:
         assert 0.0 <= results["test"]["mIoU"] <= 1.0
         assert results["best"]["epoch"] >= 0
 
+    def test_trainer_loop_hengshuang(self, tmp_path):
+        """The seg trainer drives the hengshuang_seg backbone end-to-end."""
+        from mlsp_tpu.train import train_pointsegda
+
+        cfg = seg_cfg(out_path=str(tmp_path), exp_name="hseg", epochs=1,
+                      model="hengshuang_seg", DefRec_on_trgt=True,
+                      test_batch_size=8, num_points=64, scan_steps=4)
+        state, results = train_pointsegda(cfg)
+        assert 0.0 <= results["test"]["mIoU"] <= 1.0
+
 
 class TestSPST:
     def test_spst_loop(self, tmp_path):
