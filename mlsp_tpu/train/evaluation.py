@@ -12,7 +12,6 @@ accuracy / mIoU and the confusion matrix.
 from __future__ import annotations
 
 import json
-import os
 
 import jax
 import jax.numpy as jnp
@@ -24,33 +23,11 @@ from mlsp_tpu.utils.logging import IOStream
 
 def _load_weights(cfg: EvalConfig, state, io: IOStream):
     """Native msgpack checkpoint, or reference torch state_dict."""
-    if not cfg.model_file or not os.path.exists(cfg.model_file):
-        raise FileNotFoundError(f"--model_file not found: {cfg.model_file!r}")
-    if cfg.from_torch:
-        from mlsp_tpu.utils import torch_import
-
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
-        loader = {
-            "dgcnn": lambda: torch_import.load_reference_dgcnn(
-                cfg.model_file, variables, cfg.pergroup),
-            "pointnet": lambda: torch_import.load_reference_pointnet(
-                cfg.model_file, variables),
-            "dgcnn_seg": lambda: torch_import.load_reference_dgcnn_seg(
-                cfg.model_file, variables, cfg.pergroup),
-        }.get(cfg.model)
-        if loader is None:
-            raise ValueError(
-                f"--from_torch supports dgcnn/pointnet/dgcnn_seg, "
-                f"not {cfg.model!r}"
-            )
-        v = loader()
-        io.cprint(f"imported reference torch checkpoint {cfg.model_file}")
-        return state.replace(params=v["params"],
-                             batch_stats=v.get("batch_stats", {}))
-    state, epoch, metrics_ = checkpoint.load_train_state(
-        cfg.model_file, state, with_optimizer=False)
+    state = checkpoint.load_model_weights(
+        state, cfg.model_file, cfg.model, cfg.from_torch, cfg.pergroup)
     io.cprint(
-        f"loaded {cfg.model_file} (epoch {epoch}, metrics {metrics_})")
+        f"loaded {cfg.model_file}"
+        + (" (reference torch state_dict)" if cfg.from_torch else ""))
     return state
 
 

@@ -175,10 +175,15 @@ def train_spst(cfg: SPSTConfig, io: IOStream | None = None, initial_state=None,
     if initial_state is not None:
         state = state.replace(params=initial_state.params,
                               batch_stats=initial_state.batch_stats)
-    elif cfg.model_file and os.path.exists(cfg.model_file):
-        state, _, _ = checkpoint.load_train_state(cfg.model_file, state,
-                                                  with_optimizer=False)
-        io.cprint(f"loaded pretrained model from {cfg.model_file}")
+    elif cfg.model_file:
+        # Native .ckpt, or the reference's own torch model.pt via
+        # --from_torch (train_spst.py:136-143 loads torch state_dicts);
+        # a missing file raises instead of silently training from scratch.
+        state = checkpoint.load_model_weights(
+            state, cfg.model_file, cfg.model, cfg.from_torch, cfg.pergroup)
+        io.cprint(
+            f"loaded pretrained model from {cfg.model_file}"
+            + (" (reference torch state_dict)" if cfg.from_torch else ""))
 
     if mesh is not None:
         n_data = mesh.shape["data"]

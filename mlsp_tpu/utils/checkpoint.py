@@ -53,6 +53,39 @@ def save_train_state(path: str, state, epoch: int = 0, metrics: dict | None = No
     save(path, payload)
 
 
+def load_model_weights(state, path: str, model_name: str = "",
+                       from_torch: bool = False, pergroup: float = 2.0):
+    """Load model weights (params + batch stats) into a TrainState from
+    either a native `.ckpt` or a reference torch `model.pt` state_dict
+    (the format `IOStream.save_model` writes, `utils/log.py:31-41`).
+
+    Returns the updated state; optimizer state is left untouched."""
+    if not path or not os.path.exists(path):
+        raise FileNotFoundError(f"model checkpoint not found: {path!r}")
+    if from_torch:
+        from mlsp_tpu.utils import torch_import
+
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        loader = {
+            "dgcnn": lambda: torch_import.load_reference_dgcnn(
+                path, variables, pergroup),
+            "pointnet": lambda: torch_import.load_reference_pointnet(
+                path, variables),
+            "dgcnn_seg": lambda: torch_import.load_reference_dgcnn_seg(
+                path, variables, pergroup),
+        }.get(model_name)
+        if loader is None:
+            raise ValueError(
+                f"from_torch supports dgcnn/pointnet/dgcnn_seg, "
+                f"not {model_name!r}"
+            )
+        v = loader()
+        return state.replace(params=v["params"],
+                             batch_stats=v.get("batch_stats", {}))
+    state, _, _ = load_train_state(path, state, with_optimizer=False)
+    return state
+
+
 def load_train_state(path: str, state, with_optimizer: bool = True):
     """Restore a TrainState saved by `save_train_state`.
 

@@ -118,6 +118,7 @@ class SPSTConfig:
     trgt_dataset: str = "scannet"
     model: str = "dgcnn"
     model_file: str = "./experiments/MLSP/model.ckpt"
+    from_torch: bool = False  # model_file is a reference torch model.pt
     seed: int = 1
     num_class: int = 10
     num_points: int = 1024

@@ -180,3 +180,52 @@ class TestTorchImport:
             (5.0 * np.arange(16)).reshape(1, 16), dtype=torch.float32)
         with pytest.raises(ValueError, match="pergroup"):
             import_dgcnn(sd, variables, pergroup=2.0)
+
+
+class TestLoadModelWeights:
+    """`checkpoint.load_model_weights` — the shared native/torch loader
+    behind `mlsp-tpu eval` and SPST's `--from_torch`."""
+
+    def test_from_torch_file(self, tmp_path):
+        from mlsp_tpu.train.state import create_train_state
+        from mlsp_tpu.utils import checkpoint
+
+        sd = make_reference_state_dict(np.random.default_rng(5))
+        path = str(tmp_path / "model.pt")
+        torch.save(sd, path)
+
+        model = DGCNN(num_classes=10, k=20)
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((1, 64, 3), jnp.float32),
+            heads=("defrec", "normal", "scan", "density"))
+        new = checkpoint.load_model_weights(state, path, "dgcnn",
+                                            from_torch=True)
+        w = sd["conv2.conv.0.weight"].numpy().reshape(64, 128)
+        np.testing.assert_allclose(
+            new.params["EdgeConvM_1"]["w_diff"]["kernel"], w[:, :64].T)
+        # Optimizer state untouched (fresh), step preserved.
+        assert new.step == state.step
+
+    def test_missing_file_raises(self, tmp_path):
+        from mlsp_tpu.train.state import create_train_state
+        from mlsp_tpu.utils import checkpoint
+
+        model = DGCNN(num_classes=10, k=20)
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((1, 64, 3), jnp.float32),
+            heads=("defrec",))
+        with pytest.raises(FileNotFoundError):
+            checkpoint.load_model_weights(state, str(tmp_path / "no.pt"),
+                                          "dgcnn")
+
+    def test_spst_missing_model_file_raises(self, tmp_path):
+        from mlsp_tpu.train.spst import train_spst
+        from mlsp_tpu.utils.config import SPSTConfig
+
+        cfg = SPSTConfig(
+            synthetic=True, out_path=str(tmp_path), exp_name="spst_missing",
+            batch_size=8, num_points=64, model="pointnet",
+            model_file=str(tmp_path / "absent.ckpt"),
+        )
+        with pytest.raises(FileNotFoundError):
+            train_spst(cfg)
