@@ -397,6 +397,155 @@ class TestHengshuangBlock:
                                    rtol=1e-4, atol=1e-4)
 
 
+class TestGroupEncoders:
+    """`GroupEncoder` / `RelativeGroupEncoder` vs the reference's own
+    `Encoder` / `Relative_Encoder` (`model_utils.py:292-399`, pure torch)
+    with copied weights: proves the sum-of-Dense concat decompositions
+    (incl. the hardcoded `add_conv1` stage and the 515-channel
+    relative-coord re-concat) are bit-exact."""
+
+    B, G, M = 2, 6, 16
+
+    def _groups(self, rng):
+        rel = rng.standard_normal((self.B, self.G, self.M, 3)).astype(np.float32)
+        centers = rng.standard_normal((self.B, self.G, 3)).astype(np.float32)
+        return rel, centers
+
+    @staticmethod
+    def _randomize_bn(ref):
+        with torch.no_grad():
+            for m in ref.modules():
+                if isinstance(m, torch.nn.BatchNorm1d):
+                    m.running_mean.normal_(0, 0.5)
+                    m.running_var.uniform_(0.5, 1.5)
+
+    @staticmethod
+    def _k(sd, name, cols=None):
+        """conv1d kernel [out, in, 1] -> flax [in, out], optionally a
+        column slice of the input dim (concat split)."""
+        w = sd[name + ".weight"].numpy()
+        w = w.reshape(w.shape[0], w.shape[1])
+        if cols is not None:
+            w = w[:, cols]
+        return jnp.asarray(w.T)
+
+    @staticmethod
+    def _b(sd, name):
+        return jnp.asarray(sd[name + ".bias"].numpy())
+
+    @classmethod
+    def _bn(cls, sd, prefix):
+        params = {"scale": jnp.asarray(sd[prefix + ".weight"].numpy()),
+                  "bias": jnp.asarray(sd[prefix + ".bias"].numpy())}
+        stats = {"mean": jnp.asarray(sd[prefix + ".running_mean"].numpy()),
+                 "var": jnp.asarray(sd[prefix + ".running_var"].numpy())}
+        return params, stats
+
+    def test_group_encoder_matches_encoder(self, rng):
+        from PointDA.model_utils import Encoder
+
+        from mlsp_tpu.models.transformer import GroupEncoder
+
+        torch.manual_seed(4)
+        ref = Encoder(encoder_channel=48).eval()
+        self._randomize_bn(ref)
+        rel, _ = self._groups(rng)
+        with torch.no_grad():
+            want = ref(_t(rel))
+
+        sd, k, b, bn = ref.state_dict(), self._k, self._b, self._bn
+        fbn_p, fbn_s = bn(sd, "first_conv.1")
+        a1bn_p, a1bn_s = bn(sd, "add_conv1.1")
+        s2bn_p, s2bn_s = bn(sd, "second_conv.1")
+        g256 = slice(0, 256)
+        h256 = slice(256, 512)
+        params = {
+            "DenseBN_0": {"Dense_0": {"kernel": k(sd, "first_conv.0"),
+                                      "bias": b(sd, "first_conv.0")},
+                          "BatchNorm_0": fbn_p},
+            "Dense_0": {"kernel": k(sd, "first_conv.3"),
+                        "bias": b(sd, "first_conv.3")},
+            # add_conv1: cat order [global | h] (model_utils.py:328-334)
+            "Dense_1": {"kernel": k(sd, "add_conv1.0", g256),
+                        "bias": b(sd, "add_conv1.0")},
+            "Dense_2": {"kernel": k(sd, "add_conv1.0", h256)},
+            "BatchNorm_0": a1bn_p,
+            "Dense_3": {"kernel": k(sd, "add_conv1.3"),
+                        "bias": b(sd, "add_conv1.3")},
+            "Dense_4": {"kernel": k(sd, "second_conv.0", g256),
+                        "bias": b(sd, "second_conv.0")},
+            "Dense_5": {"kernel": k(sd, "second_conv.0", h256)},
+            "BatchNorm_1": s2bn_p,
+            "Dense_6": {"kernel": k(sd, "second_conv.3"),
+                        "bias": b(sd, "second_conv.3")},
+        }
+        stats = {"DenseBN_0": {"BatchNorm_0": fbn_s},
+                 "BatchNorm_0": a1bn_s, "BatchNorm_1": s2bn_s}
+
+        m = GroupEncoder(48)
+        v0 = m.init({"params": jax.random.key(0)}, jnp.asarray(rel), False)
+        assert (jax.tree_util.tree_map(jnp.shape, v0["params"])
+                == jax.tree_util.tree_map(jnp.shape, params))
+        got = m.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(rel), False)
+        np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_relative_encoder_matches_reference(self, rng):
+        from PointDA.model_utils import Relative_Encoder
+
+        from mlsp_tpu.models.vit import RelativeGroupEncoder
+
+        torch.manual_seed(5)
+        ref = Relative_Encoder(encoder_channel=48).eval()
+        self._randomize_bn(ref)
+        rel, centers = self._groups(rng)
+        absolute = rel + centers[:, :, None, :]
+        with torch.no_grad():
+            want = ref(_t(absolute), _t(centers))
+
+        sd, k, b, bn = ref.state_dict(), self._k, self._b, self._bn
+        fbn_p, fbn_s = bn(sd, "first_conv.1")
+        a1bn_p, a1bn_s = bn(sd, "add_conv1.1")
+        s2bn_p, s2bn_s = bn(sd, "second_conv.1")
+        # 515-channel cat order: [global(256) | h(256) | rel(3)]
+        # (model_utils.py:386-396).
+        g256, h256, r3 = slice(0, 256), slice(256, 512), slice(512, 515)
+        params = {
+            "Dense_0": {"kernel": k(sd, "first_conv.0"),
+                        "bias": b(sd, "first_conv.0")},
+            "BatchNorm_0": fbn_p,
+            "Dense_1": {"kernel": k(sd, "first_conv.3"),
+                        "bias": b(sd, "first_conv.3")},
+            "Dense_2": {"kernel": k(sd, "add_conv1.0", g256),
+                        "bias": b(sd, "add_conv1.0")},
+            "Dense_3": {"kernel": k(sd, "add_conv1.0", h256)},
+            "Dense_4": {"kernel": k(sd, "add_conv1.0", r3)},
+            "BatchNorm_1": a1bn_p,
+            "Dense_5": {"kernel": k(sd, "add_conv1.3"),
+                        "bias": b(sd, "add_conv1.3")},
+            "Dense_6": {"kernel": k(sd, "second_conv.0", g256),
+                        "bias": b(sd, "second_conv.0")},
+            "Dense_7": {"kernel": k(sd, "second_conv.0", h256)},
+            "Dense_8": {"kernel": k(sd, "second_conv.0", r3)},
+            "BatchNorm_2": s2bn_p,
+            "Dense_9": {"kernel": k(sd, "second_conv.3"),
+                        "bias": b(sd, "second_conv.3")},
+        }
+        stats = {"BatchNorm_0": fbn_s, "BatchNorm_1": a1bn_s,
+                 "BatchNorm_2": s2bn_s}
+
+        m = RelativeGroupEncoder(48)
+        v0 = m.init({"params": jax.random.key(0)}, jnp.asarray(rel),
+                    jnp.asarray(centers), False)
+        assert (jax.tree_util.tree_map(jnp.shape, v0["params"])
+                == jax.tree_util.tree_map(jnp.shape, params))
+        got = m.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(rel), jnp.asarray(centers), False)
+        np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                                   rtol=1e-4, atol=1e-4)
+
+
 class TestImportDiagnostics:
     """Missing/unexpected/shape reporting parity with the reference's
     `utils/checkpoint.py:16-134`."""
