@@ -47,9 +47,19 @@ def pairwise_sqdist(x: jax.Array, y: jax.Array) -> jax.Array:
     # matrix — the dominant O(N^2) intermediate — so XLA partitions it
     # (and its producers/consumers) over the points axis.
     if d.ndim == 3:
-        from mlsp_tpu.parallel.mesh import active_points_mesh, shard_points_constraint
+        from mlsp_tpu.parallel.mesh import (
+            active_points_mesh, note_unconstrained_trace,
+            shard_points_constraint,
+        )
 
-        d = shard_points_constraint(d, active_points_mesh())
+        mesh = active_points_mesh()
+        if mesh is not None:
+            d = shard_points_constraint(d, mesh)
+        elif isinstance(d, jax.core.Tracer):
+            # This trace is being cached WITHOUT the constraint; flag it
+            # so a later points_sharding entry retraces instead of
+            # silently reusing it (see parallel.mesh).
+            note_unconstrained_trace()
     return d
 
 

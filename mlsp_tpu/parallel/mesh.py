@@ -81,6 +81,18 @@ def shard_points_constraint(x, mesh: Mesh | None):
 
 _ACTIVE_POINTS_MESH: Mesh | None = None
 _CLEARED_FOR: Mesh | None = None  # last mesh the jit caches were cleared for
+# True whenever an O(N^2) producer was traced with NO active mesh since
+# the last cache clear — such a program could be cached and silently
+# reused (constraint missing) after the context is (re-)entered.
+_UNCONSTRAINED_TRACED: bool = True
+
+
+def note_unconstrained_trace() -> None:
+    """Called by `ops.pairwise.pairwise_sqdist` when traced outside any
+    points-sharding context; makes the next `points_sharding.__enter__`
+    clear the jit caches so no stale unconstrained program survives."""
+    global _UNCONSTRAINED_TRACED
+    _UNCONSTRAINED_TRACED = True
 
 
 class points_sharding:
@@ -93,10 +105,13 @@ class points_sharding:
     steps AND inner jits like `knn_indices`) are keyed on abstract
     values only — a program traced before the context was entered (e.g.
     during `model.init`) would be silently reused with the constraint
-    MISSING. Entering with a mesh the caches were not cleared for
-    therefore clears the jit caches, so everything retraces under the
-    context; re-entering with the same mesh (the per-step pattern in
-    the trainers) costs nothing. The reverse direction is deliberately
+    MISSING. Entering therefore clears the jit caches whenever they
+    could hold such a program: on a mesh change, or after any
+    unconstrained trace of the O(N^2) producer
+    (`note_unconstrained_trace`). Re-entering with the same mesh when
+    everything since the last clear was traced under the context (the
+    per-step pattern in the trainers, whose eval loops also run under
+    the context) costs nothing. The reverse direction is deliberately
     not cleared: a constrained program reused outside the context is
     numerically identical — it merely keeps its outputs laid out over
     the mesh.
@@ -107,11 +122,14 @@ class points_sharding:
         self.mesh = mesh if active else None
 
     def __enter__(self):
-        global _ACTIVE_POINTS_MESH, _CLEARED_FOR
+        global _ACTIVE_POINTS_MESH, _CLEARED_FOR, _UNCONSTRAINED_TRACED
         self._prev = _ACTIVE_POINTS_MESH
-        if self.mesh is not None and self.mesh != _CLEARED_FOR:
+        if self.mesh is not None and (
+            self.mesh != _CLEARED_FOR or _UNCONSTRAINED_TRACED
+        ):
             jax.clear_caches()
             _CLEARED_FOR = self.mesh
+            _UNCONSTRAINED_TRACED = False
         _ACTIVE_POINTS_MESH = self.mesh
         return self.mesh
 

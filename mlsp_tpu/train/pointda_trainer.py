@@ -189,10 +189,16 @@ def train_pointda(cfg: PointDAConfig, io: IOStream | None = None, mesh=None):
 
         io.print_progress("Source+Target", "Trn", epoch, meters.averages())
 
-        src_val = evaluate(state, src_train.data, src_train.label,
-                           cfg.test_batch_size, cfg.num_class, src_train.val_ind)
-        trgt_val = evaluate(state, trgt_train.data, trgt_train.label,
-                            cfg.test_batch_size, cfg.num_class, trgt_train.val_ind)
+        # Evals run under the same points-sharding context as the train
+        # steps so nothing traces unconstrained mid-loop (which would
+        # force a cache clear + retrace on the next step's entry).
+        with points_sharding(mesh):
+            src_val = evaluate(state, src_train.data, src_train.label,
+                               cfg.test_batch_size, cfg.num_class,
+                               src_train.val_ind)
+            trgt_val = evaluate(state, trgt_train.data, trgt_train.label,
+                                cfg.test_batch_size, cfg.num_class,
+                                trgt_train.val_ind)
         io.cprint(
             f"Val - epoch {epoch}: src acc {src_val['acc']:.4f} "
             f"(bal {src_val['balanced_acc']:.4f}, loss {src_val['loss']:.4f}), "
@@ -213,8 +219,9 @@ def train_pointda(cfg: PointDAConfig, io: IOStream | None = None, mesh=None):
         f"Best model found at epoch {best['epoch']}, "
         f"source val acc: {best['src_val_acc']:.4f}"
     )
-    final = evaluate(best["state"], trgt_test.data, trgt_test.label,
-                     cfg.test_batch_size, cfg.num_class)
+    with points_sharding(mesh):
+        final = evaluate(best["state"], trgt_test.data, trgt_test.label,
+                         cfg.test_batch_size, cfg.num_class)
     io.cprint(
         f"target test accuracy: {final['acc']:.4f}, "
         f"target test loss: {final['loss']:.4f}"

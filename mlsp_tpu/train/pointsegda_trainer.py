@@ -171,10 +171,13 @@ def train_pointsegda(cfg: PointSegDAConfig, io: IOStream | None = None,
 
         io.print_progress("Source+Target", "Trn", epoch, meters.averages())
 
-        src_val_loss, src_val_miou, src_val_acc = evaluate_seg(
-            state, src_val.data, src_val.label, cfg.test_batch_size)
-        trgt_val_loss, trgt_val_miou, trgt_val_acc = evaluate_seg(
-            state, trgt_val.data, trgt_val.label, cfg.test_batch_size)
+        # Under the same points-sharding context as the train steps (an
+        # unconstrained mid-loop trace would force a retrace next step).
+        with points_sharding(mesh):
+            src_val_loss, src_val_miou, src_val_acc = evaluate_seg(
+                state, src_val.data, src_val.label, cfg.test_batch_size)
+            trgt_val_loss, trgt_val_miou, trgt_val_acc = evaluate_seg(
+                state, trgt_val.data, trgt_val.label, cfg.test_batch_size)
         io.cprint(
             f"Val - epoch {epoch}: src loss {src_val_loss:.4f} mIoU {src_val_miou:.4f} "
             f"acc {src_val_acc:.4f} | trgt loss {trgt_val_loss:.4f} "
@@ -192,8 +195,10 @@ def train_pointsegda(cfg: PointSegDAConfig, io: IOStream | None = None,
                                         {"src_val_loss": src_val_loss})
 
     io.cprint(f"Best model was found at epoch {best['epoch']}")
-    test_loss, test_miou, test_acc = evaluate_seg(
-        best["state"], trgt_test.data, trgt_test.label, cfg.test_batch_size)
+    with points_sharding(mesh):
+        test_loss, test_miou, test_acc = evaluate_seg(
+            best["state"], trgt_test.data, trgt_test.label,
+            cfg.test_batch_size)
     io.cprint(
         f"target test seg loss: {test_loss:.4f}, target test seg mIOU: "
         f"{test_miou:.4f}, target test seg accuracy: {test_acc:.4f}"

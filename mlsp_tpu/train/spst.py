@@ -194,8 +194,9 @@ def train_spst(cfg: SPSTConfig, io: IOStream | None = None, initial_state=None,
             )
         state = replicate(mesh, state)
 
-    initial = evaluate(state, trgt_test.data, trgt_test.label,
-                       cfg.test_batch_size, cfg.num_class)
+    with points_sharding(mesh):
+        initial = evaluate(state, trgt_test.data, trgt_test.label,
+                           cfg.test_batch_size, cfg.num_class)
     io.cprint(f"initial target test accuracy: {initial['acc']:.4f}")
 
     spl_weight, cls_weight = cfg.spl_weight, cfg.cls_weight
@@ -204,11 +205,15 @@ def train_spst(cfg: SPSTConfig, io: IOStream | None = None, initial_state=None,
               "trgt_val_acc": [], "trgt_val_loss": []}
 
     for rnd in range(cfg.rounds):
-        pcs, plabels = select_pseudo_labels(
-            state, trgt_train.data, trgt_train.label, trgt_train.train_ind,
-            cfg.test_batch_size, cfg.threshold, cfg.use_entropy_selection,
-            io, rnd,
-        )
+        # Selection + evals share the train steps' points-sharding
+        # context so nothing traces unconstrained mid-run (an
+        # unconstrained trace would force a retrace on the next entry).
+        with points_sharding(mesh):
+            pcs, plabels = select_pseudo_labels(
+                state, trgt_train.data, trgt_train.label, trgt_train.train_ind,
+                cfg.test_batch_size, cfg.threshold, cfg.use_entropy_selection,
+                io, rnd,
+            )
         if len(pcs) < cfg.batch_size:
             io.cprint(f"round {rnd}: only {len(pcs)} confident samples; skipping")
             continue
@@ -261,12 +266,15 @@ def train_spst(cfg: SPSTConfig, io: IOStream | None = None, initial_state=None,
             io.print_progress("SPST", "Trn", rnd * cfg.epochs + epoch,
                               meters.averages())
 
-            src_val = evaluate(state, src_train.data, src_train.label,
-                               cfg.test_batch_size, cfg.num_class, src_train.val_ind)
-            trgt_val = evaluate(state, trgt_train.data, trgt_train.label,
-                                cfg.test_batch_size, cfg.num_class, trgt_train.val_ind)
-            trgt_tst = evaluate(state, trgt_test.data, trgt_test.label,
-                                cfg.test_batch_size, cfg.num_class)
+            with points_sharding(mesh):
+                src_val = evaluate(state, src_train.data, src_train.label,
+                                   cfg.test_batch_size, cfg.num_class,
+                                   src_train.val_ind)
+                trgt_val = evaluate(state, trgt_train.data, trgt_train.label,
+                                    cfg.test_batch_size, cfg.num_class,
+                                    trgt_train.val_ind)
+                trgt_tst = evaluate(state, trgt_test.data, trgt_test.label,
+                                    cfg.test_batch_size, cfg.num_class)
             for k_, v in (("src_val_acc", src_val["acc"]), ("src_val_loss", src_val["loss"]),
                           ("trgt_val_acc", trgt_val["acc"]), ("trgt_val_loss", trgt_val["loss"])):
                 curves[k_].append(v)
@@ -290,8 +298,9 @@ def train_spst(cfg: SPSTConfig, io: IOStream | None = None, initial_state=None,
                         rnd * cfg.epochs + epoch,
                         {"trgt_test_acc": trgt_tst["acc"]})
 
-    final = evaluate(best["state"], trgt_test.data, trgt_test.label,
-                     cfg.test_batch_size, cfg.num_class)
+    with points_sharding(mesh):
+        final = evaluate(best["state"], trgt_test.data, trgt_test.label,
+                         cfg.test_batch_size, cfg.num_class)
     io.cprint(f"target test accuracy: {final['acc']:.4f}")
     return best["state"], {"initial": initial, "final": final,
                            "best": {k_: v for k_, v in best.items() if k_ != "state"}}
