@@ -105,6 +105,37 @@ def test_points_constraint_lands_in_lowered_program():
     )
 
 
+def test_points_constraint_survives_reentry_after_outside_trace():
+    """Re-entry staleness (the dirty-bit path, parallel/mesh.py): after
+    the caches were cleared for a mesh, a trace OUTSIDE the context
+    (here: an eval-style jit) must not be reused INSIDE a later entry
+    with the constraint missing — regardless of which contexts ran
+    earlier in the process."""
+    from mlsp_tpu.ops.knn import knn_indices
+    from mlsp_tpu.parallel import make_mesh, points_sharding
+
+    mesh = make_mesh(data=2, points=4)
+    x = jnp.zeros((8, 64, 3), jnp.float32)
+
+    def f(y):
+        return knn_indices(y, 8)
+
+    # First entry: caches cleared for `mesh`, constrained trace exists.
+    with points_sharding(mesh):
+        assert "sharding_constraint" in jax.jit(f).lower(x).as_text()
+    # Outside: a NEW shape forces a fresh trace, which lands in the
+    # shared caches unconstrained. (Re-lowering the OLD shape outside
+    # reuses the constrained program — allowed, numerically identical.)
+    x2 = jnp.zeros((8, 32, 3), jnp.float32)
+    assert "sharding_constraint" not in jax.jit(f).lower(x2).as_text()
+    # Re-entry with the SAME mesh must retrace, not reuse the stale one.
+    with points_sharding(mesh):
+        again = jax.jit(f).lower(x2).as_text()
+    assert "sharding_constraint" in again, (
+        "stale unconstrained program reused on points_sharding re-entry"
+    )
+
+
 def test_points_axis_full_step_numerics():
     """The REAL MLSP step traced under `points_sharding` on a 2x4
     (data x points) mesh: the O(N^2) intermediates inside kNN/density get
