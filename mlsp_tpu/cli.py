@@ -102,6 +102,12 @@ def main(argv=None) -> int:
     p_seg.add_argument("--mesh_points", type=int, default=1,
                        help="points-sharding mesh axis size")
 
+    for p in (p_train, p_spst, p_seg):
+        p.add_argument("--profile_dir", type=str, default="",
+                       help="capture an XLA profiler trace of the run into "
+                            "this directory (view in TensorBoard/Perfetto); "
+                            "use with a short --epochs run")
+
     p_eval = sub.add_parser(
         "eval", help="evaluate a checkpoint (native .ckpt or reference "
                      "model.pt via --from_torch) on a dataset split")
@@ -126,22 +132,34 @@ def main(argv=None) -> int:
 
         return make_mesh(data=args.mesh_data or None, points=args.mesh_points)
 
+    import contextlib
+
+    if getattr(args, "profile_dir", ""):
+        from mlsp_tpu.utils.profiling import device_trace
+
+        trace = device_trace(args.profile_dir)
+    else:
+        trace = contextlib.nullcontext()
+
     if args.command == "trainer":
         from mlsp_tpu.train.pointda_trainer import train_pointda
 
         cfg = _to_config(PointDAConfig, args)
         if args.paper_recipe:
             cfg = cfg.paper_recipe
-        train_pointda(cfg, mesh=_mesh_from_args())
+        with trace:
+            train_pointda(cfg, mesh=_mesh_from_args())
     elif args.command == "spst":
         from mlsp_tpu.train.spst import train_spst
 
-        train_spst(_to_config(SPSTConfig, args), mesh=_mesh_from_args())
+        with trace:
+            train_spst(_to_config(SPSTConfig, args), mesh=_mesh_from_args())
     elif args.command == "seg":
         from mlsp_tpu.train.pointsegda_trainer import train_pointsegda
 
-        train_pointsegda(_to_config(PointSegDAConfig, args),
-                         mesh=_mesh_from_args())
+        with trace:
+            train_pointsegda(_to_config(PointSegDAConfig, args),
+                             mesh=_mesh_from_args())
     elif args.command == "eval":
         from mlsp_tpu.train.evaluation import run_eval
 

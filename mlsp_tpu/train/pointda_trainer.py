@@ -205,6 +205,12 @@ def train_pointda(cfg: PointDAConfig, io: IOStream | None = None, mesh=None):
             f"trgt acc {trgt_val['acc']:.4f} (loss {trgt_val['loss']:.4f})"
         )
 
+        io.log_metrics({
+            "epoch": epoch, "train": meters.averages(),
+            "src_val": {k: src_val[k] for k in ("acc", "balanced_acc", "loss")},
+            "trgt_val": {k: trgt_val[k] for k in ("acc", "balanced_acc", "loss")},
+        })
+
         # Model selection by source val acc (trainer.py:589-596).
         if src_val["acc"] > best["src_val_acc"]:
             best.update(

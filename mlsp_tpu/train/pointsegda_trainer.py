@@ -184,6 +184,14 @@ def train_pointsegda(cfg: PointSegDAConfig, io: IOStream | None = None,
             f"mIoU {trgt_val_miou:.4f} acc {trgt_val_acc:.4f}"
         )
 
+        io.log_metrics({
+            "epoch": epoch, "train": meters.averages(),
+            "src_val": {"loss": src_val_loss, "mIoU": src_val_miou,
+                        "acc": src_val_acc},
+            "trgt_val": {"loss": trgt_val_loss, "mIoU": trgt_val_miou,
+                         "acc": trgt_val_acc},
+        })
+
         # Best by lowest source val seg loss (trainer.py:457-465).
         if src_val_loss < best["src_val_loss"]:
             best.update(

@@ -280,6 +280,14 @@ def train_spst(cfg: SPSTConfig, io: IOStream | None = None, initial_state=None,
                 curves[k_].append(v)
             with open(os.path.join(io.path, "finetune_convergence.json"), "w") as f:
                 json.dump(curves, f)
+            io.log_metrics({
+                "round": rnd, "epoch": rnd * cfg.epochs + epoch,
+                "spl_weight": spl_weight, "cls_weight": cls_weight,
+                "train": meters.averages(),
+                "src_val": {"acc": src_val["acc"], "loss": src_val["loss"]},
+                "trgt_val": {"acc": trgt_val["acc"], "loss": trgt_val["loss"]},
+                "trgt_test": {"acc": trgt_tst["acc"], "loss": trgt_tst["loss"]},
+            })
 
             if src_val["acc"] > best["src_val_acc"]:
                 global_epoch = rnd * cfg.epochs + epoch

@@ -43,6 +43,26 @@ class IOStream:
         self.cprint(out)
         return acc
 
+    def log_metrics(self, record: dict, fname: str = "metrics.jsonl") -> None:
+        """Append one JSON line of metrics to `{exp_dir}/{fname}`.
+
+        Machine-readable counterpart of `print_progress` (the reference
+        only has the human `run.log` plus SPST's one-off
+        `finetune_convergence.json`, `train_spst.py:520-521`). Numpy
+        scalars/arrays are converted; nested dicts are preserved.
+        """
+        import json
+
+        def conv(v):
+            if isinstance(v, dict):
+                return {k: conv(x) for k, x in v.items()}
+            if hasattr(v, "tolist"):  # numpy / jax scalar or array
+                return v.tolist()
+            return v
+
+        with open(os.path.join(self.path, fname), "a") as f:
+            f.write(json.dumps(conv(record)) + "\n")
+
     def save_conf_mat(self, conf_matrix, fname: str, domain_set: str,
                       class_names=None) -> None:
         import csv

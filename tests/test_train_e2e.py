@@ -162,6 +162,15 @@ class TestTrainerLoop:
         assert results["test"]["acc"] >= 0.0
         assert (tmp_path / "t" / "model.ckpt").exists()
         assert (tmp_path / "t" / "run.log").exists()
+        # machine-readable per-epoch metrics (IOStream.log_metrics)
+        import json
+
+        lines = (tmp_path / "t" / "metrics.jsonl").read_text().splitlines()
+        assert len(lines) == 2
+        rec = json.loads(lines[-1])
+        assert rec["epoch"] == 1
+        assert {"train", "src_val", "trgt_val"} <= set(rec)
+        assert isinstance(rec["src_val"]["acc"], float)
 
 
 class TestSPL:
