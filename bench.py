@@ -30,6 +30,11 @@ Roofline: the JSON line also reports
                             matmul with f32 at bf16 rate, ~46 GB/s
                             gather, ~140 GB/s scatter/stream).
 
+The line also carries `eval_clouds_per_sec`: serving-mode (train=False)
+classification throughput of the same model, measured with the same
+scan+fetch protocol — the deploy-time number (no moment gathers, no
+backward scatter).
+
 Baseline for `vs_baseline`: the repo publishes no numbers (BASELINE.md);
 the north star is 5x a V100-era PyTorch estimate of 640 clouds/sec, i.e.
 3200 clouds/sec/chip on production silicon.
@@ -199,6 +204,23 @@ def main() -> None:
         best_dt = min(best_dt, time.perf_counter() - t0)
     t_step = best_dt / S
 
+    # Serving/inference throughput: scanned eval forward (cls logits).
+    # Eval mode skips EdgeConvM's moment gathers and has no backward
+    # scatter, so this is the deploy-time classification rate. Params
+    # are arguments, not closure constants (closed-over arrays get baked
+    # into the HLO and overflow the remote compiler's request limit).
+    @jax.jit
+    def eval_run(p, bs, xs):
+        def body(c, x):
+            o = model.apply({"params": p, "batch_stats": bs}, x, train=False)
+            return c + jnp.sum(o["cls"].astype(jnp.float32)), ()
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), xs)
+        return c
+
+    float(eval_run(state.params, state.batch_stats, txs))  # compile + warm
+    t_eval = _timed(eval_run, state.params, state.batch_stats, txs) / S
+
     # Roofline context: achieved primitive peaks on this chip, now.
     tflops_f32 = measure_matmul_tflops(jnp.float32)
     tflops_bf16 = measure_matmul_tflops(jnp.bfloat16)
@@ -237,6 +259,8 @@ def main() -> None:
         "t_sparse_bound_ms": round(t_gather_bound * 1e3, 2),
         "roofline_frac": round(roofline_frac, 3),
         "bound_sum_frac": round(bound_sum_frac, 3),
+        "eval_clouds_per_sec": round(B / t_eval, 1),
+        "t_eval_ms": round(t_eval * 1e3, 2),
         "head_dtype": "bf16" if head_bf16 else "f32",
     }))
 
