@@ -20,6 +20,22 @@ from jax import lax
 from mlsp_tpu.ops.pairwise import pairwise_sqdist, self_sqdist
 
 
+def _resolve_backend(backend: str) -> str:
+    """Resolve "auto": under an active points-sharding mesh, prefer the
+    XLA path — it routes through `pairwise_sqdist`, the one producer
+    that carries the P("data", "points") constraint. The Pallas kernel
+    keeps the distance matrix in VMEM (nothing to shard there), but
+    using it would silently skip the advertised O(N^2) partitioning of
+    the kNN graph build. Otherwise: Pallas on TPU, XLA elsewhere."""
+    from mlsp_tpu.parallel.mesh import active_points_mesh
+
+    if backend != "auto":
+        return backend
+    if active_points_mesh() is not None:
+        return "xla"
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 @functools.partial(jax.jit, static_argnames=("k", "backend"))
 def knn_indices(
     x: jax.Array,
@@ -41,11 +57,17 @@ def knn_indices(
     Returns:
       int32 [..., N, k] neighbour indices into `y`.
     """
-    if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    from mlsp_tpu.parallel.mesh import active_points_mesh, note_unconstrained_trace
+
+    backend = _resolve_backend(backend)
     if backend == "pallas" and y is None and x.ndim == 3:
         from mlsp_tpu.ops.pallas.knn_pallas import knn_pallas
 
+        if active_points_mesh() is None:
+            # Same staleness protocol as `pairwise_sqdist`: this trace
+            # has no constraint, so the next points_sharding entry must
+            # retrace rather than reuse it.
+            note_unconstrained_trace()
         return knn_pallas(x, k)
     d = self_sqdist(x) if y is None else pairwise_sqdist(x, y)
     _, idx = lax.top_k(-d, k)

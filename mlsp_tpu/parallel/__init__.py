@@ -3,6 +3,7 @@ from mlsp_tpu.parallel.mesh import (
     shard_batch,
     shard_scan_batch,
     replicate,
+    replicate_for_mesh,
     batch_sharding,
     replicated_sharding,
     points_sharding,
@@ -15,6 +16,7 @@ __all__ = [
     "shard_batch",
     "shard_scan_batch",
     "replicate",
+    "replicate_for_mesh",
     "batch_sharding",
     "replicated_sharding",
     "points_sharding",

@@ -56,6 +56,20 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
 
 
+def replicate_for_mesh(mesh: Mesh | None, state, batch_size: int):
+    """Trainer entry helper: validate the batch splits over the `data`
+    axis, then replicate the train state. Identity when mesh is None."""
+    if mesh is None:
+        return state
+    n_data = mesh.shape["data"]
+    if batch_size % n_data:
+        raise ValueError(
+            f"batch_size {batch_size} not divisible by the mesh "
+            f"data axis ({n_data} devices)"
+        )
+    return replicate(mesh, state)
+
+
 def shard_points_constraint(x, mesh: Mesh | None):
     """Annotate a [B, N, ...] intermediate to also split N over `points`.
 

@@ -34,6 +34,7 @@ def _load_weights(cfg: EvalConfig, state, io: IOStream):
 def run_eval(cfg: EvalConfig, io: IOStream | None = None) -> dict:
     """Evaluate a checkpoint on one dataset split; returns the metrics
     dict (also printed as a single JSON line for scripting)."""
+    cfg = cfg.resolved()  # task-conditional defaults (seg: 8 cls / 2048 pts)
     io = io or IOStream(cfg.out_path, cfg.exp_name)
     key = jax.random.key(cfg.seed)
 

@@ -71,7 +71,7 @@ def train_pointda(cfg: PointDAConfig, io: IOStream | None = None, mesh=None):
     partitioned over `points` (see `parallel.points_sharding`).
     """
     from mlsp_tpu.parallel import (
-        points_sharding, replicate, shard_batch, shard_scan_batch,
+        points_sharding, replicate_for_mesh, shard_batch, shard_scan_batch,
     )
 
     cfg = cfg.resolved()
@@ -109,14 +109,7 @@ def train_pointda(cfg: PointDAConfig, io: IOStream | None = None, mesh=None):
         epochs=cfg.epochs, steps_per_epoch=steps_per_epoch, heads=all_heads,
     )
 
-    if mesh is not None:
-        n_data = mesh.shape["data"]
-        if cfg.batch_size % n_data:
-            raise ValueError(
-                f"batch_size {cfg.batch_size} not divisible by the mesh "
-                f"data axis ({n_data} devices)"
-            )
-        state = replicate(mesh, state)
+    state = replicate_for_mesh(mesh, state, cfg.batch_size)
 
     best = {"src_val_acc": 0.0, "epoch": -1, "state": state}
     ckpt_path = os.path.join(io.path, "model.ckpt")
@@ -133,6 +126,8 @@ def train_pointda(cfg: PointDAConfig, io: IOStream | None = None, mesh=None):
             f"resumed from {cfg.resume} at epoch {saved_epoch} "
             f"(best src val acc {best['src_val_acc']:.4f})"
         )
+
+    io.trim_metrics(start_epoch)  # drop records the loop will re-emit
 
     for epoch in range(start_epoch, cfg.epochs):
         meters = MeterDict()

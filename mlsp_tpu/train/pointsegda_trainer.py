@@ -64,7 +64,7 @@ def train_pointsegda(cfg: PointSegDAConfig, io: IOStream | None = None,
     axis applied to the O(N^2) intermediates (cf. `train_pointda`).
     """
     from mlsp_tpu.parallel import (
-        points_sharding, replicate, shard_batch, shard_scan_batch,
+        points_sharding, replicate_for_mesh, shard_batch, shard_scan_batch,
     )
 
     cfg = cfg.resolved()
@@ -110,18 +110,12 @@ def train_pointsegda(cfg: PointSegDAConfig, io: IOStream | None = None,
 
     io.cprint("\n" + model_summary(state.params))  # torchsummary parity
 
-    if mesh is not None:
-        n_data = mesh.shape["data"]
-        if bsz % n_data:
-            raise ValueError(
-                f"batch size {bsz} not divisible by the mesh data axis "
-                f"({n_data} devices)"
-            )
-        state = replicate(mesh, state)
+    state = replicate_for_mesh(mesh, state, bsz)
 
     best = {"src_val_loss": MAX_LOSS, "epoch": -1, "state": state}
     ckpt_path = os.path.join(io.path, "model.ckpt")
 
+    io.trim_metrics(0)  # fresh run: truncate any prior metrics.jsonl
     for epoch in range(cfg.epochs):
         meters = MeterDict()
         src_iter = batches(src_train.data, src_train.label, bsz,

@@ -140,7 +140,7 @@ def train_spst(cfg: SPSTConfig, io: IOStream | None = None, initial_state=None,
     """SPST fine-tuning; with `mesh`, params replicate and batches shard
     over `data` like the other trainers (cf. `train_pointda`)."""
     from mlsp_tpu.parallel import (
-        points_sharding, replicate, shard_batch, shard_scan_batch,
+        points_sharding, replicate_for_mesh, shard_batch, shard_scan_batch,
     )
 
     io = io or IOStream(cfg.out_path, cfg.exp_name)
@@ -185,14 +185,7 @@ def train_spst(cfg: SPSTConfig, io: IOStream | None = None, initial_state=None,
             f"loaded pretrained model from {cfg.model_file}"
             + (" (reference torch state_dict)" if cfg.from_torch else ""))
 
-    if mesh is not None:
-        n_data = mesh.shape["data"]
-        if cfg.batch_size % n_data:
-            raise ValueError(
-                f"batch_size {cfg.batch_size} not divisible by the mesh "
-                f"data axis ({n_data} devices)"
-            )
-        state = replicate(mesh, state)
+    state = replicate_for_mesh(mesh, state, cfg.batch_size)
 
     with points_sharding(mesh):
         initial = evaluate(state, trgt_test.data, trgt_test.label,
@@ -204,6 +197,7 @@ def train_spst(cfg: SPSTConfig, io: IOStream | None = None, initial_state=None,
     curves = {"src_val_acc": [], "src_val_loss": [],
               "trgt_val_acc": [], "trgt_val_loss": []}
 
+    io.trim_metrics(0)  # fresh run: truncate any prior metrics.jsonl
     for rnd in range(cfg.rounds):
         # Selection + evals share the train steps' points-sharding
         # context so nothing traces unconstrained mid-run (an

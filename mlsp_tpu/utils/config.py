@@ -233,6 +233,28 @@ class EvalConfig:
     gather_dtype: str = ""
     synthetic: bool = False
 
+    # Fields whose PointDA defaults are wrong for the seg task, with the
+    # seg trainer's values (`PointSegDA/trainer.py:124-125` pergroup 5,
+    # 8 classes / 2048 points at `:196-199`).
+    _SEG_DEFAULTS = {
+        "model": "dgcnn_seg",
+        "num_class": 8,
+        "num_points": 2048,
+        "pergroup": 5.0,
+        "dataset": "faust",
+    }
+
+    def resolved(self) -> "EvalConfig":
+        """Task-conditional defaults: with `task=pointsegda`, any field
+        still at its PointDA default flips to the seg trainer's value
+        (an explicitly-set field is kept)."""
+        if self.task != "pointsegda":
+            return self
+        defaults = {f.name: f.default for f in dataclasses.fields(self)}
+        repl = {k: v for k, v in self._SEG_DEFAULTS.items()
+                if getattr(self, k) == defaults[k]}
+        return dataclasses.replace(self, **repl)
+
 
 def model_heads(model: str) -> tuple[str, ...]:
     """SSL heads a backbone provides (cf. the reference's activate_*

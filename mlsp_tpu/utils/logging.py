@@ -63,6 +63,28 @@ class IOStream:
         with open(os.path.join(self.path, fname), "a") as f:
             f.write(json.dumps(conv(record)) + "\n")
 
+    def trim_metrics(self, below: int, key: str = "epoch",
+                     fname: str = "metrics.jsonl") -> None:
+        """Keep only records with `record[key] < below` (one record per
+        epoch contract): a fresh run in a reused exp dir truncates the
+        file (`below=0`), a `--resume` run drops the records the resumed
+        epochs will re-emit."""
+        import json
+
+        path = os.path.join(self.path, fname)
+        if not os.path.exists(path):
+            return
+        kept = []
+        with open(path) as f:
+            for line in f:
+                try:
+                    if json.loads(line).get(key, below) < below:
+                        kept.append(line)
+                except json.JSONDecodeError:
+                    pass
+        with open(path, "w") as f:
+            f.writelines(kept)
+
     def save_conf_mat(self, conf_matrix, fname: str, domain_set: str,
                       class_names=None) -> None:
         import csv

@@ -180,13 +180,19 @@ class _Mapper:
             leaf["bias"] = _np(bias)
 
     def set_bn(self, dst_params_path, dst_stats_path, src_prefix):
-        node = self._node(self.params, dst_params_path)
-        node["scale"] = _np(self.src(f"{src_prefix}.weight"))
-        node["bias"] = _np(self.src(f"{src_prefix}.bias"))
-        snode = self._node(self.bstats, dst_stats_path)
-        snode["mean"] = _np(self.src(f"{src_prefix}.running_mean"))
-        snode["var"] = _np(self.src(f"{src_prefix}.running_var"))
+        # Read ALL four sources before writing anything: in strict=False
+        # mode a partially-present BN layer must stay consistently at
+        # init, never mix checkpoint affine params with init running
+        # stats (silently wrong normalization).
+        scale = _np(self.src(f"{src_prefix}.weight"))
+        bias = _np(self.src(f"{src_prefix}.bias"))
+        mean = _np(self.src(f"{src_prefix}.running_mean"))
+        var = _np(self.src(f"{src_prefix}.running_var"))
         self.src_opt(f"{src_prefix}.num_batches_tracked")
+        node = self._node(self.params, dst_params_path)
+        node["scale"], node["bias"] = scale, bias
+        snode = self._node(self.bstats, dst_stats_path)
+        snode["mean"], snode["var"] = mean, var
 
     def densebn(self, dst, src_conv, src_bn=None, linear=False):
         """Map conv/linear (+ optional BN) into a DenseBN block."""
@@ -303,12 +309,15 @@ def import_dgcnn(sd: dict, variables: dict, pergroup: float = 2.0,
         m.set_dense([blk, "w_center"], w[:, cin:].T)
         if "BatchNorm_0" in m.params[blk]:  # direct EdgeConv
             m.set_bn([blk, "BatchNorm_0"], [blk, "BatchNorm_0"], f"{src}.conv.1")
-        else:  # EdgeConvM: scale/bias at block level
-            m.params[blk]["scale"] = _np(m.src(f"{src}.conv.1.weight"))
-            m.params[blk]["bias"] = _np(m.src(f"{src}.conv.1.bias"))
-            m.bstats[blk]["mean"] = _np(m.src(f"{src}.conv.1.running_mean"))
-            m.bstats[blk]["var"] = _np(m.src(f"{src}.conv.1.running_var"))
+        else:  # EdgeConvM: scale/bias at block level (read-all-first,
+            # same atomicity contract as set_bn)
+            scale = _np(m.src(f"{src}.conv.1.weight"))
+            bias = _np(m.src(f"{src}.conv.1.bias"))
+            mean = _np(m.src(f"{src}.conv.1.running_mean"))
+            var = _np(m.src(f"{src}.conv.1.running_var"))
             m.src_opt(f"{src}.conv.1.num_batches_tracked")
+            m.params[blk]["scale"], m.params[blk]["bias"] = scale, bias
+            m.bstats[blk]["mean"], m.bstats[blk]["var"] = mean, var
 
     for i, (src, cin) in enumerate(
         [("conv1", 3), ("conv2", 64), ("conv3", 64), ("conv4", 128)]

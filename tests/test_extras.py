@@ -397,3 +397,49 @@ class TestTransformerTrainers:
         _, results = train_pointda(cfg)
         assert 0.0 <= results["test"]["acc"] <= 1.0
         assert (tmp_path / f"t_{model}" / "model.ckpt").exists()
+
+
+class TestEvalConfigDefaults:
+    def test_seg_task_flips_pointda_defaults(self):
+        """`--task pointsegda` must not keep the PointDA 10-class /
+        1024-point / pergroup-2 defaults (the seg trainer uses 8 / 2048 /
+        5 — PointSegDA/trainer.py:124-125,196-199)."""
+        from mlsp_tpu.utils.config import EvalConfig
+
+        cfg = EvalConfig(task="pointsegda").resolved()
+        assert (cfg.model, cfg.num_class, cfg.num_points, cfg.pergroup,
+                cfg.dataset) == ("dgcnn_seg", 8, 2048, 5.0, "faust")
+
+    def test_explicit_values_win(self):
+        from mlsp_tpu.utils.config import EvalConfig
+
+        cfg = EvalConfig(task="pointsegda", num_points=64,
+                         model="hengshuang_seg").resolved()
+        assert cfg.num_points == 64 and cfg.model == "hengshuang_seg"
+        assert cfg.num_class == 8  # untouched field still flips
+
+    def test_pointda_task_untouched(self):
+        from mlsp_tpu.utils.config import EvalConfig
+
+        cfg = EvalConfig()
+        assert cfg.resolved() == cfg
+
+
+class TestMetricsLog:
+    def test_trim_metrics_resume_contract(self, tmp_path):
+        """A resumed run must not leave duplicate per-epoch records."""
+        from mlsp_tpu.utils.logging import IOStream
+
+        io = IOStream(str(tmp_path), "m")
+        for e in range(4):
+            io.log_metrics({"epoch": e, "x": e * 10})
+        io.trim_metrics(2)  # resume from epoch 2: drop 2, 3
+        io.log_metrics({"epoch": 2, "x": 999})
+        import json
+
+        recs = [json.loads(l) for l in
+                (tmp_path / "m" / "metrics.jsonl").read_text().splitlines()]
+        assert [r["epoch"] for r in recs] == [0, 1, 2]
+        assert recs[-1]["x"] == 999
+        io.trim_metrics(0)  # fresh-run truncation
+        assert (tmp_path / "m" / "metrics.jsonl").read_text() == ""

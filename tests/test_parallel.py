@@ -283,3 +283,34 @@ def test_scan_step_sharded_matches_serial_shapes():
     state, ms = steps.pointda_train_scan(state, sxs, sys_, txs, key, cfg)
     totals = np.asarray(ms["total"])
     assert totals.shape == (S,) and np.isfinite(totals).all()
+
+
+def test_knn_auto_backend_respects_points_mesh(monkeypatch):
+    """Under an active points-sharding mesh, backend="auto" must resolve
+    to the XLA path (which routes through `pairwise_sqdist`, the one
+    producer carrying the P("data", "points") constraint) even on TPU,
+    where "auto" otherwise picks the Pallas kernel that keeps distances
+    in VMEM — unconstrained."""
+    from mlsp_tpu.ops.knn import _resolve_backend
+    from mlsp_tpu.parallel import make_mesh, points_sharding
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert _resolve_backend("auto") == "pallas"
+    with points_sharding(make_mesh(data=2, points=4)):
+        assert _resolve_backend("auto") == "xla"
+    assert _resolve_backend("auto") == "pallas"
+    # explicit backends pass through untouched
+    with points_sharding(make_mesh(data=2, points=4)):
+        assert _resolve_backend("pallas") == "pallas"
+
+
+def test_replicate_for_mesh_validates_batch():
+    from mlsp_tpu.parallel import make_mesh, replicate_for_mesh
+
+    mesh = make_mesh()
+    state = {"w": jnp.ones((4, 4))}
+    out = replicate_for_mesh(mesh, state, 16)
+    assert out["w"].sharding.is_fully_replicated
+    with pytest.raises(ValueError, match="not divisible"):
+        replicate_for_mesh(mesh, state, 9)
+    assert replicate_for_mesh(None, state, 9) is state

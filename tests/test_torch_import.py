@@ -229,3 +229,30 @@ class TestLoadModelWeights:
         )
         with pytest.raises(FileNotFoundError):
             train_spst(cfg)
+
+
+class TestAtomicUnits:
+    def test_partial_bn_stays_at_init(self):
+        """strict=False with a BN layer missing its running stats must
+        leave that layer consistently at init — never checkpoint affine
+        params paired with init running stats."""
+        rng = np.random.default_rng(3)
+        sd = make_reference_state_dict(rng)
+        del sd["bn5.running_mean"]  # classification path BN, partial
+        model = DGCNN(num_classes=10, k=20)
+        variables = jax.jit(
+            lambda r, x: model.init({"params": r}, x, train=False,
+                                    heads=("defrec", "normal", "scan",
+                                           "density"))
+        )(jax.random.key(0), jnp.zeros((1, 64, 3), jnp.float32))
+        with pytest.warns(UserWarning, match="bn5"):
+            new = import_dgcnn(sd, variables, strict=False)
+        bn = new["params"]["DenseBN_0"]["BatchNorm_0"]
+        st = new["batch_stats"]["DenseBN_0"]["BatchNorm_0"]
+        # whole unit at init: scale 1, bias 0, mean 0, var 1
+        assert np.allclose(bn["scale"], 1.0) and np.allclose(bn["bias"], 0.0)
+        assert np.allclose(st["mean"], 0.0) and np.allclose(st["var"], 1.0)
+        # ...while the Dense kernel of the same block DID import
+        assert np.allclose(
+            np.asarray(new["params"]["DenseBN_0"]["Dense_0"]["kernel"]),
+            np.asarray(sd["conv5.weight"]).reshape(1024, 512).T)
