@@ -19,6 +19,7 @@ from mlsp_tpu.data import batches, load_pointda
 from mlsp_tpu.data.pipeline import pad_batch
 from mlsp_tpu.models import make_model
 from mlsp_tpu.train import steps
+from mlsp_tpu.train.guard import check_finite_losses
 from mlsp_tpu.train.state import create_train_state
 from mlsp_tpu.utils import checkpoint, metrics
 from mlsp_tpu.utils.average_meter import MeterDict
@@ -183,6 +184,7 @@ def train_pointda(cfg: PointDAConfig, io: IOStream | None = None, mesh=None):
                 meters.update(jax.device_get(m), n=n)
 
         io.print_progress("Source+Target", "Trn", epoch, meters.averages())
+        check_finite_losses(meters.averages(), state, epoch, io)
 
         # Evals run under the same points-sharding context as the train
         # steps so nothing traces unconstrained mid-loop (which would
@@ -215,6 +217,14 @@ def train_pointda(cfg: PointDAConfig, io: IOStream | None = None, mesh=None):
             )
             checkpoint.save_train_state(ckpt_path, state, epoch,
                                         {"src_val_acc": src_val["acc"]})
+
+        # Periodic checkpoint (preemption tolerance): unlike model.ckpt
+        # (best-by-src-val only), last.ckpt tracks wall-clock progress,
+        # so `--resume last.ckpt` loses at most save_every-1 epochs.
+        if cfg.save_every and (epoch + 1) % cfg.save_every == 0:
+            checkpoint.save_train_state(
+                os.path.join(io.path, "last.ckpt"), state, epoch,
+                {"src_val_acc": best["src_val_acc"]})
 
     io.cprint(
         f"Best model found at epoch {best['epoch']}, "

@@ -17,6 +17,7 @@ from mlsp_tpu.data import batches, load_pointsegda
 from mlsp_tpu.data.pipeline import pad_batch
 from mlsp_tpu.models import DGCNNSeg
 from mlsp_tpu.train import seg_steps
+from mlsp_tpu.train.guard import check_finite_losses
 from mlsp_tpu.train.state import create_train_state
 from mlsp_tpu.utils import checkpoint, metrics
 from mlsp_tpu.utils.average_meter import MeterDict
@@ -164,6 +165,7 @@ def train_pointsegda(cfg: PointSegDAConfig, io: IOStream | None = None,
             meters.update({"src_train_mIoU": bm / bs}, n=bs)
 
         io.print_progress("Source+Target", "Trn", epoch, meters.averages())
+        check_finite_losses(meters.averages(), state, epoch, io)
 
         # Under the same points-sharding context as the train steps (an
         # unconstrained mid-loop trace would force a retrace next step).

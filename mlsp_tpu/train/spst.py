@@ -24,6 +24,7 @@ from mlsp_tpu.data import batches, load_pointda
 from mlsp_tpu.models import make_model
 from mlsp_tpu.train import steps
 from mlsp_tpu.train.pointda_trainer import evaluate
+from mlsp_tpu.train.guard import check_finite_losses
 from mlsp_tpu.train.state import create_train_state
 from mlsp_tpu.train.steps import _apply, augment_batch, pcm_mix
 from mlsp_tpu.transforms.augment import random_rotate_one_axis
@@ -259,6 +260,7 @@ def train_spst(cfg: SPSTConfig, io: IOStream | None = None, initial_state=None,
             cls_weight -= cfg.weight_decay_per_epoch
             io.print_progress("SPST", "Trn", rnd * cfg.epochs + epoch,
                               meters.averages())
+            check_finite_losses(meters.averages(), state, rnd * cfg.epochs + epoch, io)
 
             with points_sharding(mesh):
                 src_val = evaluate(state, src_train.data, src_train.label,

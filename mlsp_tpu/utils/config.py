@@ -87,6 +87,9 @@ class PointDAConfig:
     gather_dtype: str = ""
     scan_steps: int = 16  # train steps fused per device dispatch (1 = off)
     resume: str = ""  # checkpoint path to resume from (params+opt+epoch)
+    save_every: int = 0  # also write last.ckpt every N epochs (preemption
+    # tolerance: --resume last.ckpt loses at most N-1 epochs; 0 = off —
+    # the reference only checkpoints on a new best source-val accuracy)
     synthetic: bool = False  # use in-memory synthetic data (tests/bench)
 
     def resolved(self) -> "PointDAConfig":

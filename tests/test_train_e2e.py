@@ -156,12 +156,19 @@ class TestTrainerLoop:
         cfg = PointDAConfig(
             synthetic=True, epochs=2, batch_size=8, num_points=64,
             out_path=str(tmp_path), exp_name="t", model="pointnet",
-            apply_PCM=False, test_batch_size=8,
+            apply_PCM=False, test_batch_size=8, save_every=1,
         )
         state, results = train_pointda(cfg)
         assert results["test"]["acc"] >= 0.0
         assert (tmp_path / "t" / "model.ckpt").exists()
         assert (tmp_path / "t" / "run.log").exists()
+        # periodic checkpoint (save_every=1): written every epoch and
+        # resumable — a resume from it continues at epoch 2 == done.
+        from mlsp_tpu.utils import checkpoint
+
+        _, last_epoch, _ = checkpoint.load_train_state(
+            str(tmp_path / "t" / "last.ckpt"), state)
+        assert last_epoch == 1
         # machine-readable per-epoch metrics (IOStream.log_metrics)
         import json
 
@@ -214,3 +221,36 @@ class TestOnSrcRecipe:
         )
         for name in ("src_DefRec", "src_def_normal", "src_def_density_cls"):
             assert name in m and np.isfinite(float(m[name])), name
+
+
+class TestFailureGuard:
+    def test_nonfinite_loss_aborts_with_crash_state(self, tmp_path):
+        """SURVEY §5 failure detection: a NaN epoch loss aborts the run,
+        names the offending terms, and saves a post-mortem checkpoint."""
+        import jax
+        import jax.numpy as jnp
+        import pytest
+
+        from mlsp_tpu.models import PointNet
+        from mlsp_tpu.train.guard import check_finite_losses
+        from mlsp_tpu.train.state import create_train_state
+        from mlsp_tpu.utils import checkpoint
+        from mlsp_tpu.utils.logging import IOStream
+
+        io = IOStream(str(tmp_path), "g")
+        state = create_train_state(
+            PointNet(num_classes=10), jax.random.key(0),
+            jnp.zeros((2, 32, 3), jnp.float32), heads=("defrec",))
+
+        check_finite_losses({"total": 1.0, "src_cls": 0.5}, state, 0, io)  # ok
+
+        with pytest.raises(FloatingPointError, match="defrec.*total"):
+            check_finite_losses(
+                {"total": float("nan"), "src_cls": 0.5,
+                 "defrec": float("inf")}, state, 3, io)
+        crash = tmp_path / "g" / "nonfinite_crash.ckpt"
+        assert crash.exists()
+        _, epoch, metrics = checkpoint.load_train_state(str(crash), state)
+        assert epoch == 3
+        assert metrics["nonfinite_terms"] == "defrec,total"
+        assert "non-finite loss at epoch 3" in (tmp_path / "g" / "run.log").read_text()
