@@ -113,6 +113,11 @@ def main(argv=None) -> int:
                      "model.pt via --from_torch) on a dataset split")
     _add_config_args(p_eval, EvalConfig)
 
+    p_infer = sub.add_parser(
+        "infer", help="batch inference: write per-sample predictions + "
+                      "class probabilities for a dataset split to .npz")
+    _add_config_args(p_infer, EvalConfig)
+
     args = parser.parse_args(argv)
     enable_cache()
 
@@ -164,6 +169,10 @@ def main(argv=None) -> int:
         from mlsp_tpu.train.evaluation import run_eval
 
         run_eval(_to_config(EvalConfig, args))
+    elif args.command == "infer":
+        from mlsp_tpu.train.evaluation import run_infer
+
+        run_infer(_to_config(EvalConfig, args))
     return 0
 
 

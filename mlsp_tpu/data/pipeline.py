@@ -164,3 +164,63 @@ def standardize_clouds(
                 chunk[j] = np.tile(pc, (reps, 1))[:padded]
             out[np.asarray(sel)] = _fps_chunk(chunk, num_points)
     return out
+
+
+def standardize_files(
+    files: list[str],
+    num_points: int,
+    rotate_axis: str | None = None,
+    rotate_angle: float = 0.0,
+    rotate_mask: np.ndarray | None = None,
+    native_ingest: bool | None = None,
+) -> np.ndarray:
+    """:func:`standardize_clouds` straight from .npy files.
+
+    With the native library available (default: auto-detect; force off
+    with native_ingest=False or MLSP_NATIVE_INGEST=0), raw-file ingest —
+    npy parse, f32 xyz decode, unit-cube, alignment rotation, tile-pad
+    into size buckets — runs in the C++ thread pool
+    (`native/mlsp_host.cpp::mlsp_load_npy_clouds`), the TPU framework's
+    counterpart of the reference's 4-worker DataLoader decode path
+    (`PointDA/trainer.py:228-236`). FPS down to `num_points` stays on
+    device either way. Falls back to the numpy path transparently.
+    """
+    import os as _os
+
+    if native_ingest is None:
+        native_ingest = _os.environ.get("MLSP_NATIVE_INGEST", "1") != "0"
+    if native_ingest:
+        from mlsp_tpu import native
+
+        native_ingest = native.available()
+    if not native_ingest:
+        return standardize_clouds(
+            [np.load(f) for f in files], num_points,
+            rotate_axis=rotate_axis, rotate_angle=rotate_angle,
+            rotate_mask=rotate_mask,
+        )
+
+    from mlsp_tpu import native
+
+    sizes = native.npy_sizes(files)
+    out = np.empty((len(files), num_points, 3), np.float32)
+    # Same pow2 bucketing as standardize_clouds: small clouds tile-pad
+    # straight to num_points; big ones pad to a pow2 bucket then FPS.
+    buckets: dict[int, list[int]] = {}
+    for i, p in enumerate(sizes):
+        padded = (num_points if p <= num_points
+                  else 1 << (int(p) - 1).bit_length())
+        buckets.setdefault(padded, []).append(i)
+    for padded, ids in buckets.items():
+        for s in range(0, len(ids), _PAD_CHUNK):
+            sel = ids[s : s + _PAD_CHUNK]
+            chunk, _ = native.load_npy_clouds(
+                [files[i] for i in sel], padded, unit_cube=True,
+                rotate_axis=rotate_axis, rotate_angle=rotate_angle,
+                rotate_mask=(None if rotate_mask is None
+                             else rotate_mask[np.asarray(sel)]),
+            )
+            out[np.asarray(sel)] = (
+                chunk if padded == num_points else _fps_chunk(chunk, num_points)
+            )
+    return out

@@ -14,7 +14,7 @@ import os
 import numpy as np
 
 from mlsp_tpu.data import synthetic
-from mlsp_tpu.data.pipeline import Dataset, standardize_clouds
+from mlsp_tpu.data.pipeline import Dataset, standardize_clouds, standardize_files
 
 NUM_POINTS = 1024  # PointDA/data/dataloader.py:11
 label_to_idx = {
@@ -24,14 +24,13 @@ label_to_idx = {
 idx_to_label = {v: k for k, v in label_to_idx.items()}
 
 
-def _load_npy_tree(dataroot: str, name: str, partition: str):
+def _npy_tree_files(dataroot: str, name: str, partition: str):
     root = os.path.join(dataroot, "PointDA_data", name)
     files = sorted(glob.glob(os.path.join(root, "*", partition, "*.npy")))
     if not files:
         raise FileNotFoundError(f"no {name} npy files under {root}")
-    clouds = [np.load(f) for f in files]
     labels = np.asarray([label_to_idx[f.split(os.sep)[-3]] for f in files], np.int64)
-    return clouds, labels
+    return files, labels
 
 
 def _load_scannet_h5(dataroot: str, partition: str):
@@ -67,11 +66,12 @@ def load_pointda(
     ModelNet none.
     """
     try:
+        files = None
         if name == "scannet":
             clouds, labels = _load_scannet_h5(dataroot, partition)
             rot_axis, rot_mask = "x", None
         elif name in ("modelnet", "shapenet"):
-            clouds, labels = _load_npy_tree(dataroot, name, partition)
+            files, labels = _npy_tree_files(dataroot, name, partition)
             rot_axis = "x" if name == "shapenet" else None
             rot_mask = (
                 labels != label_to_idx["plant"] if name == "shapenet" else None
@@ -93,9 +93,17 @@ def load_pointda(
         ds = Dataset(data, labels)
         return ds.split(seed) if partition == "train" else ds
 
-    data = standardize_clouds(
-        clouds, num_points, rotate_axis=rot_axis, rotate_angle=-np.pi / 2,
-        rotate_mask=rot_mask,
-    )
+    if files is not None:
+        # npy trees ingest straight from disk (native C++ thread pool
+        # when available; numpy fallback inside).
+        data = standardize_files(
+            files, num_points, rotate_axis=rot_axis, rotate_angle=-np.pi / 2,
+            rotate_mask=rot_mask,
+        )
+    else:
+        data = standardize_clouds(
+            clouds, num_points, rotate_axis=rot_axis, rotate_angle=-np.pi / 2,
+            rotate_mask=rot_mask,
+        )
     ds = Dataset(data, labels)
     return ds.split(seed) if partition == "train" else ds

@@ -28,7 +28,7 @@ def _build() -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
-             "-o", _SO, src],
+             "-pthread", "-o", _SO, src],
             check=True, capture_output=True,
         )
         return True
@@ -53,6 +53,14 @@ def load():
                                       ctypes.c_int64, f32p]
     lib.mlsp_estimate_normals.argtypes = [f32p, ctypes.c_int64,
                                           ctypes.c_int64, f32p]
+    ccpp = ctypes.POINTER(ctypes.c_char_p)
+    lib.mlsp_npy_sizes.argtypes = [ccpp, ctypes.c_int64, ctypes.c_int32, i64p]
+    lib.mlsp_npy_sizes.restype = ctypes.c_int64
+    lib.mlsp_load_npy_clouds.argtypes = [
+        ccpp, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_float, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int32, f32p, i64p]
+    lib.mlsp_load_npy_clouds.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -105,3 +113,76 @@ def estimate_normals(pts: np.ndarray, k: int = 20) -> np.ndarray:
     out = np.zeros_like(pts)
     lib.mlsp_estimate_normals(_fptr(pts), pts.shape[0], k, _fptr(out))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Threaded npy ingest (the native data loader; native/mlsp_host.cpp).
+# ---------------------------------------------------------------------------
+
+_ROT_AXIS = {None: -1, "x": 0, "y": 1, "z": 2}
+
+
+def _path_array(paths: list[str]):
+    arr = (ctypes.c_char_p * len(paths))()
+    arr[:] = [p.encode() for p in paths]
+    return arr
+
+
+def _raise_ingest(code: int, paths: list[str]) -> None:
+    if code == 0:
+        return
+    # encoding: parse_rc * 1e6 - file_index (native loader error codes)
+    rc, i = -((-code) // 1000000), (-code) % 1000000
+    raise ValueError(
+        f"native npy ingest failed on {paths[i]!r} (code {rc}: "
+        "expects little-endian f4/f8, C-order, 2-D [P, D>=3] .npy)")
+
+
+def npy_sizes(paths: list[str], n_threads: int = 0) -> np.ndarray:
+    """Row counts of many .npy files (parallel header-only reads)."""
+    lib = _require()
+    out = np.zeros(len(paths), np.int64)
+    nt = n_threads or min(16, os.cpu_count() or 1)
+    _raise_ingest(
+        int(lib.mlsp_npy_sizes(
+            _path_array(paths), len(paths), nt,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))),
+        paths)
+    return out
+
+
+def load_npy_clouds(
+    paths: list[str],
+    pad_points: int,
+    unit_cube: bool = True,
+    rotate_axis: str | None = None,
+    rotate_angle: float = 0.0,
+    rotate_mask: np.ndarray | None = None,
+    n_threads: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Threaded batch ingest of pre-bucketed .npy clouds.
+
+    Each file is parsed, xyz-decoded to f32, unit-cube normalised,
+    alignment-rotated (where `rotate_mask` is set), and repeat-padded to
+    `pad_points` rows — the exact per-cloud pipeline of
+    `data/pipeline.py::standardize_clouds`, executed by a C++ thread
+    pool. Files must have <= pad_points rows (bucket first with
+    :func:`npy_sizes`). Returns (clouds [n, pad_points, 3] f32,
+    original row counts [n] int64).
+    """
+    lib = _require()
+    out = np.empty((len(paths), pad_points, 3), np.float32)
+    npts = np.zeros(len(paths), np.int64)
+    mask = None
+    if rotate_mask is not None:
+        mask = np.ascontiguousarray(rotate_mask, np.uint8)
+        mask = mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    nt = n_threads or min(16, os.cpu_count() or 1)
+    _raise_ingest(
+        int(lib.mlsp_load_npy_clouds(
+            _path_array(paths), len(paths), pad_points, int(unit_cube),
+            _ROT_AXIS[rotate_axis], float(rotate_angle), mask, nt,
+            _fptr(out),
+            npts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))),
+        paths)
+    return out, npts

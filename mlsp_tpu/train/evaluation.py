@@ -1,22 +1,26 @@
-"""Standalone checkpoint evaluation (`mlsp-tpu eval`).
+"""Standalone checkpoint evaluation + batch inference (`mlsp-tpu eval|infer`).
 
 The reference evaluates only inside its trainers (`test()` at
 `PointDA/trainer.py:298-331`, `PointSegDA/trainer.py:239-270`) or by
-loading `model.pt` into the SPST script (`train_spst.py:136-145`).
-This gives that capability a first-class entry point: load a native
-checkpoint (or a reference torch `model.pt` via the importer), run the
-scanned eval program on any dataset split, report accuracy / balanced
-accuracy / mIoU and the confusion matrix.
+loading `model.pt` into the SPST script (`train_spst.py:136-145`), and
+has no way to export predictions at all. This gives both capabilities
+first-class entry points: load a native checkpoint (or a reference torch
+`model.pt` via the importer), run the scanned eval program on any
+dataset split, and either report metrics (`eval`) or write per-sample
+predictions + class probabilities to an .npz (`infer` — the serving
+surface: one scanned device program over the whole dataset).
 """
 
 from __future__ import annotations
 
 import json
+import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from mlsp_tpu.utils import checkpoint
+from mlsp_tpu.utils import checkpoint, metrics
 from mlsp_tpu.utils.config import EvalConfig
 from mlsp_tpu.utils.logging import IOStream
 
@@ -31,20 +35,19 @@ def _load_weights(cfg: EvalConfig, state, io: IOStream):
     return state
 
 
-def run_eval(cfg: EvalConfig, io: IOStream | None = None) -> dict:
-    """Evaluate a checkpoint on one dataset split; returns the metrics
-    dict (also printed as a single JSON line for scripting)."""
-    cfg = cfg.resolved()  # task-conditional defaults (seg: 8 cls / 2048 pts)
-    io = io or IOStream(cfg.out_path, cfg.exp_name)
-    key = jax.random.key(cfg.seed)
+def _setup(cfg: EvalConfig, io: IOStream):
+    """Dataset + model + weight-loaded state for one eval/infer run.
 
+    Returns (state, data, label, indices): `indices` restricts to the
+    train/val subsplit for classification (`dataloader.py:70-73`), None
+    otherwise.
+    """
     from mlsp_tpu.train.state import create_train_state
 
+    key = jax.random.key(cfg.seed)
     if cfg.task == "pointsegda":
         from mlsp_tpu.data.pointsegda import load_pointsegda
         from mlsp_tpu.models import DGCNNSeg
-        from mlsp_tpu.train.pointsegda_trainer import evaluate_seg
-
         from mlsp_tpu.utils.config import seg_model_heads
 
         ds = load_pointsegda(cfg.dataset, cfg.dataroot, cfg.split,
@@ -63,18 +66,10 @@ def run_eval(cfg: EvalConfig, io: IOStream | None = None) -> dict:
             jnp.float32)
         state = create_train_state(
             model, key, sample, heads=seg_model_heads(cfg.model))
-        state = _load_weights(cfg, state, io)
-        loss, miou, acc = evaluate_seg(state, ds.data, ds.label,
-                                       cfg.test_batch_size)
-        result = {"dataset": cfg.dataset, "split": cfg.split,
-                  "loss": round(float(loss), 6), "miou": round(float(miou), 6),
-                  "acc": round(float(acc), 6)}
-        io.cprint(json.dumps(result))
-        return result
+        return _load_weights(cfg, state, io), ds.data, ds.label, None
 
-    from mlsp_tpu.data import idx_to_label, load_pointda
+    from mlsp_tpu.data import load_pointda
     from mlsp_tpu.models import make_model
-    from mlsp_tpu.train.pointda_trainer import evaluate
     from mlsp_tpu.utils.config import dgcnn_dtype_kwargs, model_heads
 
     partition = "train" if cfg.split in ("train", "val") else "test"
@@ -90,9 +85,31 @@ def run_eval(cfg: EvalConfig, io: IOStream | None = None) -> dict:
     sample = jnp.zeros((cfg.test_batch_size, cfg.num_points, 3), jnp.float32)
     state = create_train_state(model, key, sample,
                                heads=model_heads(cfg.model))
-    state = _load_weights(cfg, state, io)
+    return _load_weights(cfg, state, io), ds.data, ds.label, indices
 
-    r = evaluate(state, ds.data, ds.label, cfg.test_batch_size,
+
+def run_eval(cfg: EvalConfig, io: IOStream | None = None) -> dict:
+    """Evaluate a checkpoint on one dataset split; returns the metrics
+    dict (also printed as a single JSON line for scripting)."""
+    cfg = cfg.resolved()  # task-conditional defaults (seg: 8 cls / 2048 pts)
+    io = io or IOStream(cfg.out_path, cfg.exp_name)
+    state, data, label, indices = _setup(cfg, io)
+
+    if cfg.task == "pointsegda":
+        from mlsp_tpu.train.pointsegda_trainer import evaluate_seg
+
+        loss, miou, acc = evaluate_seg(state, data, label,
+                                       cfg.test_batch_size)
+        result = {"dataset": cfg.dataset, "split": cfg.split,
+                  "loss": round(float(loss), 6), "miou": round(float(miou), 6),
+                  "acc": round(float(acc), 6)}
+        io.cprint(json.dumps(result))
+        return result
+
+    from mlsp_tpu.data import idx_to_label
+    from mlsp_tpu.train.pointda_trainer import evaluate
+
+    r = evaluate(state, data, label, cfg.test_batch_size,
                  cfg.num_class, indices)
     io.cprint("Confusion matrix:\n" + str(r["conf_mat"]))
     io.save_conf_mat(r["conf_mat"], "eval_conf_mat.csv", "Eval",
@@ -104,3 +121,56 @@ def run_eval(cfg: EvalConfig, io: IOStream | None = None) -> dict:
               "loss": round(float(r["loss"]), 6)}
     io.cprint(json.dumps(result))
     return result
+
+
+def run_infer(cfg: EvalConfig, io: IOStream | None = None) -> dict:
+    """Batch inference: write predictions for one dataset split to .npz.
+
+    The whole split runs as ONE scanned device program (the serving
+    protocol, cf. `bench.py`'s eval_clouds_per_sec). Output arrays:
+      * classification: `pred` [M] int64, `prob` [M, num_class] f32
+        (softmax), plus `label` [M] when the split has ground truth;
+      * segmentation: `pred` [M, N] int64, `prob` [M, N, num_class] f32,
+        plus `label` [M, N].
+    Returns a summary dict (also printed as one JSON line).
+    """
+    from mlsp_tpu.data.pipeline import pad_batch
+    from mlsp_tpu.train import seg_steps, steps
+
+    cfg = cfg.resolved()
+    io = io or IOStream(cfg.out_path, cfg.exp_name)
+    state, data, label, indices = _setup(cfg, io)
+
+    stack_x, stack_y, counts = [], [], []
+    order = []  # dataset indices, in emitted order
+    idx_all = np.arange(data.shape[0]) if indices is None else np.asarray(indices)
+    for s in range(0, idx_all.shape[0], cfg.test_batch_size):
+        sel = idx_all[s : s + cfg.test_batch_size]
+        bx, by, n = pad_batch(data[sel], label[sel], cfg.test_batch_size)
+        stack_x.append(bx)
+        stack_y.append(by)
+        counts.append(n)
+        order.append(sel)
+    if not stack_x:
+        raise ValueError("run_infer: empty split")
+
+    scan = seg_steps.seg_eval_scan if cfg.task == "pointsegda" else steps.eval_scan
+    logits = np.asarray(scan(state, jnp.asarray(np.stack(stack_x))))
+    logits = np.concatenate(
+        [lg[:n] for lg, n in zip(logits, counts)], axis=0)
+    order = np.concatenate(order)
+
+    logp = metrics.log_softmax_np(logits)
+    pred = logits.argmax(-1).astype(np.int64)
+    true = np.concatenate([by[:n] for by, n in zip(stack_y, counts)], axis=0)
+
+    out_path = cfg.output or os.path.join(io.path, "predictions.npz")
+    np.savez_compressed(out_path, pred=pred, prob=np.exp(logp),
+                        label=true, index=order)
+    summary = {
+        "output": out_path, "dataset": cfg.dataset, "split": cfg.split,
+        "n": int(pred.shape[0]),
+        "acc": round(float(np.mean(pred == true)), 6),
+    }
+    io.cprint(json.dumps(summary))
+    return summary

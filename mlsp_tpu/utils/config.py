@@ -235,6 +235,7 @@ class EvalConfig:
     head_dtype: str = ""
     gather_dtype: str = ""
     synthetic: bool = False
+    output: str = ""  # `infer` predictions .npz (default {exp_dir}/predictions.npz)
 
     # Fields whose PointDA defaults are wrong for the seg task, with the
     # seg trainer's values (`PointSegDA/trainer.py:124-125` pergroup 5,

@@ -11,10 +11,14 @@
 // C ABI, loaded via ctypes (no pybind11 in the image).
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <limits>
+#include <string>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -202,6 +206,171 @@ void mlsp_estimate_normals(const float* pts, int64_t n, int64_t k, float* out) {
         out[3 * i + 1] = (float)ny;
         out[3 * i + 2] = (float)nz;
     }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Threaded .npy point-cloud ingest (the native data-loader).
+//
+// The reference's data loading runtime is a torch DataLoader with 4
+// worker processes re-doing per-sample numpy work every epoch
+// (PointDA/data/dataloader.py:79-95 via PointDA/trainer.py:228-236).
+// Here raw-file ingest is a one-time pass: a thread pool parses npy
+// headers, decodes f4/f8 payloads, takes xyz, unit-cube normalises and
+// applies the dataset alignment rotation, and repeat-pads each cloud to
+// the caller's bucket size. FPS down to num_points stays on device
+// (mlsp_tpu/ops/fps.py) — the host never re-implements the compute path.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Minimal strict npy parser: v1/v2/v3 header, little-endian f4/f8,
+// C-order, 2-D [P, D>=3]. Returns 0 on success.
+int parse_npy_header(FILE* f, int64_t* rows, int64_t* cols, int* itemsize) {
+    unsigned char magic[8];
+    if (fread(magic, 1, 8, f) != 8) return -1;
+    if (memcmp(magic, "\x93NUMPY", 6) != 0) return -2;
+    const int major = magic[6];
+    uint32_t hlen = 0;
+    if (major == 1) {
+        unsigned char b[2];
+        if (fread(b, 1, 2, f) != 2) return -3;
+        hlen = b[0] | (b[1] << 8);
+    } else {
+        unsigned char b[4];
+        if (fread(b, 1, 4, f) != 4) return -3;
+        hlen = b[0] | (b[1] << 8) | (b[2] << 16) | ((uint32_t)b[3] << 24);
+        if (hlen > (1u << 20)) return -3;
+    }
+    std::string h(hlen, '\0');
+    if (fread(&h[0], 1, hlen, f) != hlen) return -4;
+    if (h.find("'fortran_order': False") == std::string::npos) return -5;
+    size_t dp = h.find("'descr':");
+    if (dp == std::string::npos) return -6;
+    if (h.find("<f4", dp) != std::string::npos ||
+        h.find("|f4", dp) != std::string::npos)
+        *itemsize = 4;
+    else if (h.find("<f8", dp) != std::string::npos)
+        *itemsize = 8;
+    else
+        return -6;
+    size_t sp = h.find("'shape':");
+    if (sp == std::string::npos) return -7;
+    sp = h.find('(', sp);
+    if (sp == std::string::npos) return -7;
+    long long r = -1, c = -1;
+    if (sscanf(h.c_str() + sp, "(%lld, %lld", &r, &c) != 2) return -7;
+    if (r <= 0 || c < 3) return -8;
+    *rows = r;
+    *cols = c;
+    return 0;
+}
+
+// Row-vector convention `x @ M`, matrices as in
+// mlsp_tpu/data/pipeline.py::_rot (the reference's rotate_shape,
+// utils/pc_utils.py).
+void rotate_inplace(float* p, int64_t n, int axis, float angle) {
+    const float c = std::cos(angle), s = std::sin(angle);
+    for (int64_t i = 0; i < n; ++i) {
+        float* q = p + 3 * i;
+        float a, b;
+        switch (axis) {
+            case 0: a = q[1]; b = q[2]; q[1] = a * c + b * s; q[2] = -a * s + b * c; break;
+            case 1: a = q[0]; b = q[2]; q[0] = a * c - b * s; q[2] = a * s + b * c; break;
+            default: a = q[0]; b = q[1]; q[0] = a * c + b * s; q[1] = -a * s + b * c; break;
+        }
+    }
+}
+
+// Load one npy cloud: xyz as f32, unit-cube, optional rotation,
+// repeat-pad/tile to pad_points rows. Returns 0 on success.
+int load_one(const char* path, int64_t pad_points, int unit_cube, int rot_axis,
+             float angle, int rotate_this, float* out, int64_t* npoints) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return -10;
+    int64_t rows = 0, cols = 0;
+    int itemsize = 0;
+    int rc = parse_npy_header(f, &rows, &cols, &itemsize);
+    if (rc != 0) { fclose(f); return rc; }
+    if (rows > pad_points) { fclose(f); return -9; }  // caller bucketing bug
+    std::vector<unsigned char> raw((size_t)rows * cols * itemsize);
+    if (fread(raw.data(), 1, raw.size(), f) != raw.size()) {
+        fclose(f);
+        return -11;
+    }
+    fclose(f);
+    // xyz columns -> f32 rows at the head of `out`
+    for (int64_t i = 0; i < rows; ++i)
+        for (int d = 0; d < 3; ++d)
+            out[3 * i + d] =
+                (itemsize == 4)
+                    ? ((const float*)raw.data())[i * cols + d]
+                    : (float)((const double*)raw.data())[i * cols + d];
+    if (unit_cube) mlsp_scale_to_unit_cube(out, rows);
+    if (rot_axis >= 0 && rotate_this) rotate_inplace(out, rows, rot_axis, angle);
+    for (int64_t i = rows; i < pad_points; ++i)  // tile-pad (pipeline.py:147-149)
+        memcpy(out + 3 * i, out + 3 * (i % rows), 3 * sizeof(float));
+    *npoints = rows;
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Header-only pass: rows per file (for host-side size bucketing).
+// Returns 0, or (negative parse code * 1e6 - file index) on failure.
+int64_t mlsp_npy_sizes(const char** paths, int64_t n_files, int32_t n_threads,
+                       int64_t* out_rows) {
+    std::atomic<int64_t> next(0), err(0);
+    auto work = [&] {
+        for (;;) {
+            const int64_t i = next.fetch_add(1);
+            if (i >= n_files || err.load()) return;
+            FILE* f = fopen(paths[i], "rb");
+            int64_t r = 0, c = 0;
+            int isz = 0;
+            int rc = f ? parse_npy_header(f, &r, &c, &isz) : -10;
+            if (f) fclose(f);
+            if (rc != 0) err.store((int64_t)rc * 1000000 - i);
+            out_rows[i] = r;
+        }
+    };
+    const int nt = std::max(1, std::min<int>(n_threads, (int)n_files));
+    std::vector<std::thread> ts;
+    for (int t = 1; t < nt; ++t) ts.emplace_back(work);
+    work();
+    for (auto& t : ts) t.join();
+    return err.load();
+}
+
+// Batched ingest into out [n_files, pad_points, 3] (pre-bucketed by the
+// caller so every file has rows <= pad_points). rot_mask selects which
+// files get the alignment rotation (NULL = all; the ShapeNet "plant"
+// exception, dataloader.py:206-209). Returns 0 or encoded error.
+int64_t mlsp_load_npy_clouds(const char** paths, int64_t n_files,
+                             int64_t pad_points, int32_t unit_cube,
+                             int32_t rot_axis, float angle,
+                             const uint8_t* rot_mask, int32_t n_threads,
+                             float* out, int64_t* out_npoints) {
+    std::atomic<int64_t> next(0), err(0);
+    auto work = [&] {
+        for (;;) {
+            const int64_t i = next.fetch_add(1);
+            if (i >= n_files || err.load()) return;
+            const int rot = rot_mask ? (int)rot_mask[i] : 1;
+            int rc = load_one(paths[i], pad_points, unit_cube, rot_axis, angle,
+                              rot, out + i * pad_points * 3, &out_npoints[i]);
+            if (rc != 0) err.store((int64_t)rc * 1000000 - i);
+        }
+    };
+    const int nt = std::max(1, std::min<int>(n_threads, (int)n_files));
+    std::vector<std::thread> ts;
+    for (int t = 1; t < nt; ++t) ts.emplace_back(work);
+    work();
+    for (auto& t : ts) t.join();
+    return err.load();
 }
 
 }  // extern "C"

@@ -368,6 +368,69 @@ class TestEvalCLI:
         assert set(r) == {"dataset", "split", "loss", "miou", "acc"}
         assert 0.0 <= r["miou"] <= 1.0
 
+    def test_infer_writes_predictions(self, tmp_path):
+        """`mlsp-tpu infer` exports pred/prob/label/index arrays whose
+        accuracy agrees with `eval` on the same checkpoint and split."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from mlsp_tpu.models import make_model
+        from mlsp_tpu.train.evaluation import run_eval, run_infer
+        from mlsp_tpu.train.state import create_train_state
+        from mlsp_tpu.utils import checkpoint
+        from mlsp_tpu.utils.config import EvalConfig
+
+        model = make_model("pointnet", 10)
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((8, 64, 3), jnp.float32),
+            heads=("defrec",))
+        path = str(tmp_path / "m.ckpt")
+        checkpoint.save_train_state(path, state, 0, {})
+        cfg = EvalConfig(
+            model="pointnet", model_file=path, dataset="scannet",
+            split="val", synthetic=True, num_points=64, test_batch_size=8,
+            out_path=str(tmp_path), exp_name="inf")
+        s = run_infer(cfg)
+        with np.load(s["output"]) as z:
+            pred, prob, label, index = z["pred"], z["prob"], z["label"], z["index"]
+        assert pred.shape == label.shape == index.shape == (s["n"],)
+        assert prob.shape == (s["n"], 10)
+        np.testing.assert_allclose(prob.sum(-1), 1.0, atol=1e-5)
+        assert np.array_equal(prob.argmax(-1), pred)
+        assert s["acc"] == pytest.approx(float(np.mean(pred == label)))
+        # val-split subset: indices point back into the dataset rows
+        assert np.unique(index).shape[0] == s["n"]
+        r = run_eval(cfg)
+        assert r["acc"] == pytest.approx(s["acc"])
+
+    def test_infer_seg_per_point(self, tmp_path):
+        """Segmentation inference emits per-point predictions."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from mlsp_tpu.models import DGCNNSeg
+        from mlsp_tpu.train.evaluation import run_infer
+        from mlsp_tpu.train.state import create_train_state
+        from mlsp_tpu.utils import checkpoint
+        from mlsp_tpu.utils.config import EvalConfig
+
+        model = DGCNNSeg(num_classes=8, knn_backend="xla")
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((4, 64, 3), jnp.float32),
+            heads=("seg", "defrec", "normal", "density"))
+        path = str(tmp_path / "seg.ckpt")
+        checkpoint.save_train_state(path, state, 0, {})
+        s = run_infer(EvalConfig(
+            task="pointsegda", dataset="faust", split="test", synthetic=True,
+            model="dgcnn_seg", model_file=path, num_points=64,
+            test_batch_size=4, out_path=str(tmp_path), exp_name="seginf",
+            output=str(tmp_path / "segpred.npz")))
+        with np.load(s["output"]) as z:
+            assert z["pred"].shape == z["label"].shape  # [M, N]
+            assert z["pred"].ndim == 2 and z["prob"].shape[-1] == 8
+
     def test_eval_missing_file_raises(self, tmp_path):
         from mlsp_tpu.train.evaluation import run_eval
         from mlsp_tpu.utils.config import EvalConfig

@@ -52,3 +52,49 @@ def test_normals_match_device_kernel(rng):
     nd = np.asarray(ops.estimate_normals(jnp.asarray(pts[None]), 12))[0]
     cos = np.abs((nc * nd).sum(-1))
     assert (cos > 0.99).mean() > 0.95  # allow a few tie-different neighbourhoods
+
+
+class TestNativeIngest:
+    """Threaded npy data-loader (mlsp_host.cpp::mlsp_load_npy_clouds)."""
+
+    def _write_tree(self, tmp_path, rng):
+        files, sizes = [], [500, 1500, 64, 2049]
+        for i, p in enumerate(sizes):
+            pc = rng.standard_normal((p, 3)) * 3 + 1
+            if i == 1:  # f8 payload with a label column (seg-style [P,4])
+                pc = np.concatenate([pc, np.ones((p, 1))], 1)
+            else:
+                pc = pc.astype(np.float32)
+            f = str(tmp_path / f"c{i}.npy")
+            np.save(f, pc)
+            files.append(f)
+        return files, sizes
+
+    def test_npy_sizes(self, tmp_path, rng):
+        files, sizes = self._write_tree(tmp_path, rng)
+        assert list(native.npy_sizes(files)) == sizes
+
+    def test_matches_numpy_path(self, tmp_path, rng):
+        """Full ingest (unit-cube + masked alignment rotation + pad +
+        device FPS) agrees with the pure-numpy pipeline."""
+        from mlsp_tpu.data.pipeline import standardize_files
+
+        files, _ = self._write_tree(tmp_path, rng)
+        mask = np.array([1, 0, 1, 1], bool)
+        kw = dict(rotate_axis="x", rotate_angle=-np.pi / 2, rotate_mask=mask)
+        a = standardize_files(files, 128, native_ingest=True, **kw)
+        b = standardize_files(files, 128, native_ingest=False, **kw)
+        np.testing.assert_allclose(a, b, atol=2e-6)
+
+    def test_bad_file_reports_path(self, tmp_path):
+        bad = tmp_path / "bad.npy"
+        bad.write_bytes(b"not an npy file")
+        with pytest.raises(ValueError, match="bad.npy"):
+            native.npy_sizes([str(bad)])
+
+    def test_load_rejects_oversized(self, tmp_path, rng):
+        """Bucketing contract: rows > pad_points is a caller bug."""
+        f = str(tmp_path / "big.npy")
+        np.save(f, rng.standard_normal((100, 3)).astype(np.float32))
+        with pytest.raises(ValueError, match="big.npy"):
+            native.load_npy_clouds([f], 64)
