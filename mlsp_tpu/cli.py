@@ -118,6 +118,12 @@ def main(argv=None) -> int:
                       "class probabilities for a dataset split to .npz")
     _add_config_args(p_infer, EvalConfig)
 
+    p_export = sub.add_parser(
+        "export", help="export a checkpoint as a reference-loadable torch "
+                       "model.pt (inverse of --from_torch; dgcnn/pointnet/"
+                       "dgcnn_seg)")
+    _add_config_args(p_export, EvalConfig)
+
     args = parser.parse_args(argv)
     enable_cache()
 
@@ -173,6 +179,10 @@ def main(argv=None) -> int:
         from mlsp_tpu.train.evaluation import run_infer
 
         run_infer(_to_config(EvalConfig, args))
+    elif args.command == "export":
+        from mlsp_tpu.train.evaluation import run_export
+
+        run_export(_to_config(EvalConfig, args))
     return 0
 
 

@@ -174,3 +174,55 @@ def run_infer(cfg: EvalConfig, io: IOStream | None = None) -> dict:
     }
     io.cprint(json.dumps(summary))
     return summary
+
+
+def run_export(cfg: EvalConfig, io: IOStream | None = None) -> dict:
+    """Export a checkpoint as a reference-loadable torch `model.pt`.
+
+    The inverse of `--from_torch`: a model trained (or fine-tuned) here
+    drops back into the reference's own stack — its trainers load the
+    file via `model.load_state_dict` (`train_spst.py:136-145`) with
+    strict key/shape checking. Accepts a native `.ckpt` (or, with
+    `--from_torch 1`, a reference `model.pt`, making this a checkpoint
+    normaliser). Supported models: dgcnn, pointnet, dgcnn_seg — the
+    three the reference can instantiate from a saved state_dict.
+    """
+    from mlsp_tpu.train.state import create_train_state
+    from mlsp_tpu.utils import torch_export
+    from mlsp_tpu.utils.config import model_heads, seg_model_heads
+
+    cfg = cfg.resolved()
+    io = io or IOStream(cfg.out_path, cfg.exp_name)
+    exporters = {
+        "dgcnn": lambda v: torch_export.export_dgcnn(v, cfg.pergroup),
+        "pointnet": torch_export.export_pointnet,
+        "dgcnn_seg": lambda v: torch_export.export_dgcnn_seg(v, cfg.pergroup),
+    }
+    if cfg.model not in exporters:
+        raise ValueError(
+            f"export supports dgcnn/pointnet/dgcnn_seg, not {cfg.model!r}")
+
+    key = jax.random.key(cfg.seed)
+    sample = jnp.zeros((1, cfg.num_points, 3), jnp.float32)
+    if cfg.task == "pointsegda":
+        from mlsp_tpu.models import DGCNNSeg
+
+        model = DGCNNSeg(num_classes=cfg.num_class, dropout=cfg.dropout,
+                         density_num_cls=cfg.density_num_class,
+                         pergroup=cfg.pergroup, knn_backend=cfg.knn_backend)
+        heads = seg_model_heads(cfg.model)
+    else:
+        from mlsp_tpu.models import make_model
+
+        model = make_model(cfg.model, cfg.num_class, dropout=cfg.dropout)
+        heads = model_heads(cfg.model)
+    state = create_train_state(model, key, sample, heads=heads)
+    state = _load_weights(cfg, state, io)
+
+    sd = exporters[cfg.model](
+        {"params": state.params, "batch_stats": state.batch_stats})
+    out_path = cfg.output or os.path.join(io.path, "model.pt")
+    torch_export.save_torch_checkpoint(sd, out_path)
+    summary = {"output": out_path, "model": cfg.model, "keys": len(sd)}
+    io.cprint(json.dumps(summary))
+    return summary

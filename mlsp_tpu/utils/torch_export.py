@@ -1,0 +1,357 @@
+"""Export mlsp_tpu checkpoints as reference PyTorch state_dicts.
+
+The inverse of `torch_import`: maps flax variables onto the exact
+state_dict layout the reference models load (`torch.save` format the
+reference's `utils/log.py:31-41` emits), so a model trained here can be
+dropped back into the reference's own evaluation / SPST / deployment
+stack with a strict `load_state_dict`. Covered models:
+
+  * `export_dgcnn`     — PointDA `DGCNN` (`PointDA/Models.py:82-162`)
+  * `export_pointnet`  — PointDA `PointNet` (`PointDA/Models.py:26-79`)
+  * `export_dgcnn_seg` — PointSegDA `DGCNN_DefRec`
+                         (`PointSegDA/Models.py:197-386`)
+
+Layout translations (inverse of `torch_import`):
+  * Dense kernel [in, out] -> Conv1d/Conv2d 1x1 weight [out, in, 1(,1)]
+    or Linear weight [out, in].
+  * Decomposed EdgeConv (w_diff, w_center) -> the torch conv's single
+    concat weight W = [W_d | W_c] over (x_j - x_i, x_i).
+  * BatchNorm: scale->weight, bias->bias, batch_stats->running_*,
+    plus the `num_batches_tracked` buffer torch checkpoints carry.
+  * Density head: the analytic frozen expectation layer materialises as
+    `fc2.weight` = pergroup * arange(num_cls) (`PointDA/Models.py:267-270`).
+  * Seg `LinearEdgeBlock`: the flax block trains two independent
+    second-stage maps (diff chain D1·D0, center chain C1·C0 + bias); the
+    torch `shared_layers` double-conv computes V(W_d Δ + W_c x + b_a)+b_b
+    — an exactly equivalent parameterisation exists whenever D1 is
+    invertible:  V=D1, W_d=D0, W_c=D1⁻¹ C1 C0, b_a=0, b_b=C1 c0 + c1
+    (constants and per-point terms commute with the max over neighbours,
+    `PointSegDA/Models.py:159-191`). The solve uses a pseudo-inverse and
+    warns if the reconstruction residual is not tiny.
+
+Every exported tensor is float32 except `num_batches_tracked` (int64 0).
+`save_torch_checkpoint` writes the dict with `torch.save` (the only
+torch dependency; the mapping itself is pure numpy).
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+
+from mlsp_tpu.utils.torch_import import CheckpointMismatchError
+
+# Residual ‖D1·W_c − C1·C0‖/‖C1·C0‖ above which the seg double-block
+# solve is reported as lossy (D1 effectively rank-deficient).
+_SOLVE_RTOL = 1e-4
+
+
+def _f32(x) -> np.ndarray:
+    return np.asarray(x, np.float32)
+
+
+class _Exporter:
+    """Builds a torch state_dict from flax params/batch_stats."""
+
+    def __init__(self, variables: dict, model_name: str):
+        import jax
+
+        self.model_name = model_name
+        self.params = jax.tree_util.tree_map(np.asarray, variables["params"])
+        self.bstats = jax.tree_util.tree_map(
+            np.asarray, variables.get("batch_stats", {}))
+        self.out: dict[str, np.ndarray] = {}
+        self.missing: list[str] = []
+
+    # -- source access ------------------------------------------------------
+    def node(self, path, stats: bool = False):
+        node = self.bstats if stats else self.params
+        for k in path:
+            if k not in node:
+                raise KeyError("/".join(path))
+            node = node[k]
+        return node
+
+    def has(self, name: str) -> bool:
+        return name in self.params
+
+    # -- destinations -------------------------------------------------------
+    def put(self, key: str, value) -> None:
+        self.out[key] = _f32(value)
+
+    def conv(self, dst: str, src_path, rank: int = 1,
+             bias: bool | None = None) -> None:
+        """Dense leaf -> ConvNd 1x1 weight [out, in, 1(,1)] (+ bias)."""
+        leaf = self.node(src_path)
+        w = _f32(leaf["kernel"]).T  # [out, in]
+        self.put(dst + ".weight", w.reshape(w.shape + (1,) * rank))
+        if bias is None:
+            bias = "bias" in leaf
+        if bias:
+            self.put(dst + ".bias", leaf["bias"])
+
+    def linear(self, dst: str, src_path, bias: bool | None = None) -> None:
+        leaf = self.node(src_path)
+        self.put(dst + ".weight", _f32(leaf["kernel"]).T)
+        if bias is None:
+            bias = "bias" in leaf
+        if bias:
+            self.put(dst + ".bias", leaf["bias"])
+
+    def bn(self, dst: str, params_path, stats_path=None) -> None:
+        p = self.node(params_path)
+        s = self.node(stats_path or params_path, stats=True)
+        self.put(dst + ".weight", p["scale"])
+        self.put(dst + ".bias", p["bias"])
+        self.put(dst + ".running_mean", s["mean"])
+        self.put(dst + ".running_var", s["var"])
+        self.out[dst + ".num_batches_tracked"] = np.asarray(0, np.int64)
+
+    def densebn(self, dst_conv: str, dst_bn: str | None, src_path,
+                rank: int = 1, linear: bool = False) -> None:
+        """DenseBN module -> torch conv/linear (+ BN)."""
+        if linear:
+            self.linear(dst_conv, src_path + ["Dense_0"])
+        else:
+            self.conv(dst_conv, src_path + ["Dense_0"], rank)
+        if dst_bn is not None:
+            self.bn(dst_bn, src_path + ["BatchNorm_0"])
+
+    def unit(self, fn, *args, **kwargs) -> None:
+        try:
+            fn(*args, **kwargs)
+        except KeyError as e:
+            self.missing.append(str(e.args[0]))
+
+    def point_head(self, dst: str, src: str) -> None:
+        """4-layer per-point head (conv1-3 + BN + conv4); bias presence
+        follows the flax layers (they mirror the reference exactly)."""
+        for j in range(3):
+            self.unit(self.densebn, f"{dst}.conv{j + 1}", f"{dst}.bn{j + 1}",
+                      [src, f"DenseBN_{j}"])
+        self.unit(self.conv, f"{dst}.conv4", [src, "Dense_0"])
+
+    def density_head(self, dst: str, src: str, pergroup: float) -> None:
+        self.unit(self.densebn, f"{dst}.conv1", f"{dst}.bn1",
+                  [src, "DenseBN_0"])
+        self.unit(self.densebn, f"{dst}.mlp1.fc.0", f"{dst}.mlp1.fc.1",
+                  [src, "DenseBN_1"], linear=True)
+        self.unit(self.densebn, f"{dst}.mlp2.fc.0", f"{dst}.mlp2.fc.1",
+                  [src, "DenseBN_2"], linear=True)
+        self.unit(self.linear, f"{dst}.mlp3", [src, "Dense_0"])
+        # Frozen expectation bins (`PointDA/Models.py:267-270`); bin count
+        # comes from the logits layer's output width.
+        num_cls = int(self.node([src, "Dense_0"])["kernel"].shape[1])
+        self.put(f"{dst}.fc2.weight",
+                 (pergroup * np.arange(num_cls, dtype=np.float32))[None, :])
+
+    # -- finishing ----------------------------------------------------------
+    def finish(self, strict: bool = True) -> dict[str, np.ndarray]:
+        if self.missing:
+            msg = (f"{self.model_name} variables lack parameters the "
+                   "reference model requires (was the model initialised "
+                   "with all heads?):\n  " + "\n  ".join(sorted(self.missing)))
+            if strict:
+                raise CheckpointMismatchError(msg)
+            warnings.warn(msg, stacklevel=3)
+        return self.out
+
+
+def save_torch_checkpoint(state_dict: dict[str, np.ndarray], path: str) -> None:
+    """Write an exported state_dict as a reference-loadable `model.pt`."""
+    import torch
+
+    # np.array copies: torch.from_numpy on a read-only view (e.g. a
+    # transposed jax export) trips torch's non-writable-tensor warning.
+    torch.save({k: torch.from_numpy(np.array(v))
+                for k, v in state_dict.items()}, path)
+
+
+# ---------------------------------------------------------------------------
+# shared pieces
+# ---------------------------------------------------------------------------
+
+
+def _transform_net(e: _Exporter, dst: str, src: str) -> None:
+    """flax `TransformNet` -> reference `transform_net`
+    (`PointDA/model_utils.py:89-127`); convs are 2-D (the reference runs
+    them on [B, C, N, k] / [B, C, N, 1])."""
+    for j in range(3):
+        e.unit(e.densebn, f"{dst}.conv2d{j + 1}.conv.0",
+               f"{dst}.conv2d{j + 1}.conv.1", [src, f"DenseBN_{j}"], rank=2)
+    e.unit(e.densebn, f"{dst}.fc1.fc.0", f"{dst}.fc1.fc.1",
+           [src, "DenseBN_3"], linear=True)
+    e.unit(e.densebn, f"{dst}.fc2.fc.0", f"{dst}.fc2.fc.1",
+           [src, "DenseBN_4"], linear=True)
+    e.unit(e.linear, f"{dst}.fc3", [src, "Dense_0"])
+
+
+def _classifier(e: _Exporter, dst: str, src: str) -> None:
+    e.unit(e.densebn, f"{dst}.mlp1.fc.0", f"{dst}.mlp1.fc.1",
+           [src, "DenseBN_0"], linear=True)
+    e.unit(e.densebn, f"{dst}.mlp2.fc.0", f"{dst}.mlp2.fc.1",
+           [src, "DenseBN_1"], linear=True)
+    e.unit(e.linear, f"{dst}.mlp3", [src, "Dense_0"])
+
+
+# ---------------------------------------------------------------------------
+# PointDA DGCNN (`PointDA/Models.py:82-162`)
+# ---------------------------------------------------------------------------
+
+
+def export_dgcnn(variables: dict, pergroup: float = 2.0,
+                 strict: bool = True) -> dict:
+    """flax DGCNN variables -> reference `DGCNN` state_dict.
+
+    The reference model instantiates every head unconditionally, so a
+    strict torch `load_state_dict` needs variables from a model
+    initialised with heads ("defrec", "normal", "scan", "density");
+    `strict=False` exports whatever heads are present (torch side must
+    then load with `strict=False`).
+    """
+    e = _Exporter(variables, "DGCNN")
+
+    _transform_net(e, "input_transform_net", "TransformNet_0")
+
+    # EdgeConv stages: reassemble the concat weight [W_d | W_c].
+    def edge_stage(i: int, dst: str) -> None:
+        blk = _edge_block(e.params, i)
+        wd = _f32(e.node([blk, "w_diff"])["kernel"]).T    # [out, cin]
+        wc = _f32(e.node([blk, "w_center"])["kernel"]).T
+        w = np.concatenate([wd, wc], axis=1)              # [out, 2*cin]
+        e.put(f"{dst}.conv.0.weight", w.reshape(w.shape + (1, 1)))
+        if "BatchNorm_0" in e.params[blk]:  # direct EdgeConv
+            e.bn(f"{dst}.conv.1", [blk, "BatchNorm_0"])
+        else:  # EdgeConvM: scale/bias at block level
+            e.put(f"{dst}.conv.1.weight", e.node([blk])["scale"])
+            e.put(f"{dst}.conv.1.bias", e.node([blk])["bias"])
+            s = e.node([blk], stats=True)
+            e.put(f"{dst}.conv.1.running_mean", s["mean"])
+            e.put(f"{dst}.conv.1.running_var", s["var"])
+            e.out[f"{dst}.conv.1.num_batches_tracked"] = np.asarray(0, np.int64)
+
+    for i, dst in enumerate(["conv1", "conv2", "conv3", "conv4"]):
+        e.unit(edge_stage, i, dst)
+
+    e.unit(e.conv, "conv5", ["DenseBN_0", "Dense_0"])
+    e.unit(e.bn, "bn5", ["DenseBN_0", "BatchNorm_0"])
+
+    _classifier(e, "C", "Classifier_0")
+
+    for dst, src in (("DefRec", "DefRec"), ("Norm_pred", "NormPred"),
+                     ("Rec_scan", "RecScan")):
+        if e.has(src):
+            e.point_head(dst, src)
+        else:
+            e.missing.append(src)
+    if e.has("DensityCls"):
+        e.density_head("Density_cls", "DensityCls", pergroup)
+    else:
+        e.missing.append("DensityCls")
+
+    return e.finish(strict)
+
+
+def _edge_block(params: dict, i: int) -> str:
+    for prefix in ("EdgeConvM_", "EdgeConv_"):
+        if f"{prefix}{i}" in params:
+            return f"{prefix}{i}"
+    raise KeyError(f"EdgeConv block {i}")
+
+
+# ---------------------------------------------------------------------------
+# PointDA PointNet (`PointDA/Models.py:26-79`)
+# ---------------------------------------------------------------------------
+
+
+def export_pointnet(variables: dict, strict: bool = True) -> dict:
+    e = _Exporter(variables, "PointNet")
+
+    _transform_net(e, "trans_net1", "TransformNet_0")
+    _transform_net(e, "trans_net2", "trans_net2")
+
+    for j, dst in enumerate(["conv1", "conv2", "conv3", "conv4", "conv5"]):
+        e.unit(e.densebn, f"{dst}.conv.0", f"{dst}.conv.1",
+               [f"DenseBN_{j}"], rank=2)
+
+    _classifier(e, "C", "Classifier_0")
+
+    if e.has("DefRec"):
+        e.point_head("DefRec", "DefRec")
+    else:
+        e.missing.append("DefRec")
+
+    return e.finish(strict)
+
+
+# ---------------------------------------------------------------------------
+# PointSegDA DGCNN_DefRec (`PointSegDA/Models.py:197-386`)
+# ---------------------------------------------------------------------------
+
+
+def export_dgcnn_seg(variables: dict, pergroup: float = 5.0,
+                     strict: bool = True) -> dict:
+    e = _Exporter(variables, "DGCNN_DefRec")
+
+    # transform net: conv+leakyrelu, no BN (`PointSegDA/Models.py:106-143`)
+    tn = "SegTransformNet_0"
+    for j in range(3):
+        e.unit(e.conv, f"input_transform_net.conv2d{j + 1}.conv.0",
+               [tn, f"Dense_{j}"], rank=2)
+    e.unit(e.linear, "input_transform_net.fc1.fc.0", [tn, "Dense_3"])
+    e.unit(e.linear, "input_transform_net.fc2.fc.0", [tn, "Dense_4"])
+    e.unit(e.linear, "input_transform_net.fc3", [tn, "Dense_5"])
+
+    # shared_layers: the decomposed linear edge blocks back to conv pairs.
+    def put_conv2d(dst: str, w: np.ndarray, b: np.ndarray) -> None:
+        e.put(dst + ".weight", w.reshape(w.shape + (1, 1)))
+        e.put(dst + ".bias", b)
+
+    def double_block(blk: str, conv_a: str, conv_b: str) -> None:
+        d0 = _f32(e.node([blk, "w_diff0"])["kernel"]).T    # [64, cin]
+        d1 = _f32(e.node([blk, "w_diff1"])["kernel"]).T    # [64, 64]
+        c0n = e.node([blk, "w_center0"])
+        c1n = e.node([blk, "w_center1"])
+        c0, b0 = _f32(c0n["kernel"]).T, _f32(c0n["bias"])
+        c1, b1 = _f32(c1n["kernel"]).T, _f32(c1n["bias"])
+        # V=d1, W_d=d0, W_c solves d1 @ W_c = c1 @ c0 (see module doc).
+        target = c1 @ c0
+        wc = np.linalg.pinv(d1.astype(np.float64)) @ target.astype(np.float64)
+        wc = wc.astype(np.float32)
+        denom = float(np.linalg.norm(target)) or 1.0
+        resid = float(np.linalg.norm(d1 @ wc - target)) / denom
+        if resid > _SOLVE_RTOL:
+            warnings.warn(
+                f"{e.model_name}.{conv_a}: second-stage diff map is "
+                f"rank-deficient; export residual {resid:.2e} — the torch "
+                "model will only approximate this block", stacklevel=4)
+        put_conv2d(conv_a, np.concatenate([d0, wc], axis=1),
+                   np.zeros(d1.shape[0], np.float32))
+        put_conv2d(conv_b, d1, c1 @ b0 + b1)
+
+    def single_block(blk: str, conv_a: str) -> None:
+        d0 = _f32(e.node([blk, "w_diff0"])["kernel"]).T
+        c0n = e.node([blk, "w_center0"])
+        put_conv2d(conv_a, np.concatenate(
+            [d0, _f32(c0n["kernel"]).T], axis=1), _f32(c0n["bias"]))
+
+    e.unit(double_block, "LinearEdgeBlock_0", "shared_layers.conv1",
+           "shared_layers.conv2")
+    e.unit(double_block, "LinearEdgeBlock_1", "shared_layers.conv3",
+           "shared_layers.conv4")
+    e.unit(single_block, "LinearEdgeBlock_2", "shared_layers.conv5")
+    e.unit(e.conv, "shared_layers.conv6", ["Dense_0"])
+
+    for dst, src in (("seg", "seg"), ("DefRec", "DefRec"),
+                     ("Norm_pred", "NormPred")):
+        if e.has(src):
+            e.point_head(dst, src)
+        else:
+            e.missing.append(src)
+    if e.has("DensityCls"):
+        e.density_head("Density_cls", "DensityCls", pergroup)
+    else:
+        e.missing.append("DensityCls")
+
+    return e.finish(strict)

@@ -1,0 +1,288 @@
+"""Torch checkpoint EXPORT: train here, deploy in the reference.
+
+Differential tests of `utils/torch_export` against the reference's own
+torch modules: an exported state_dict must strict-`load_state_dict` into
+the reference model (every key, every shape) and reproduce the flax
+forward exactly. Variables are randomly perturbed first (params AND
+batch-norm running stats) so an identity-mapped BN cannot mask a wrong
+mapping.
+
+The seg model additionally exercises the pinv re-parameterisation of
+`LinearEdgeBlock` (flax trains untied second-stage maps; the torch
+`shared_layers` double conv has one — see torch_export module doc).
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.modules.setdefault("pcl", types.ModuleType("pcl"))
+if "/root/reference" not in sys.path:
+    sys.path.insert(0, "/root/reference")
+
+
+def _stub_reference_model_deps():
+    """PointDA/Models.py imports CUDA-only deps at module scope; stub them
+    (forward paths under test never touch them on CPU)."""
+    knn_cuda = types.ModuleType("knn_cuda")
+    knn_cuda.KNN = object
+    sys.modules.setdefault("knn_cuda", knn_cuda)
+    p2o = types.ModuleType("pointnet2_ops")
+    p2o.pointnet2_utils = types.ModuleType("pointnet2_ops.pointnet2_utils")
+    sys.modules.setdefault("pointnet2_ops", p2o)
+    sys.modules.setdefault("pointnet2_ops.pointnet2_utils", p2o.pointnet2_utils)
+    try:
+        import timm  # noqa: F401
+    except ImportError:
+        t = types.ModuleType("timm")
+        tm = types.ModuleType("timm.models")
+        tl = types.ModuleType("timm.models.layers")
+        tl.DropPath = object
+        tl.trunc_normal_ = lambda *a, **k: None
+        t.models, tm.layers = tm, tl
+        sys.modules.update(
+            {"timm": t, "timm.models": tm, "timm.models.layers": tl})
+    if "/root/reference/PointDA" not in sys.path:
+        sys.path.insert(0, "/root/reference/PointDA")
+
+
+_stub_reference_model_deps()
+refM = pytest.importorskip("PointDA.Models")
+refSegM = pytest.importorskip("PointSegDA.Models")
+
+import jax
+import jax.numpy as jnp
+
+from mlsp_tpu.models import DGCNN, DGCNNSeg, PointNet
+from mlsp_tpu.utils.torch_export import (
+    export_dgcnn,
+    export_dgcnn_seg,
+    export_pointnet,
+    save_torch_checkpoint,
+)
+from mlsp_tpu.utils.torch_import import (
+    CheckpointMismatchError,
+    import_dgcnn,
+    load_torch_state_dict,
+)
+
+B, N = 3, 64
+
+
+def _ref_args(model="dgcnn", pergroup=2.0):
+    return SimpleNamespace(
+        num_class=10, dropout=0.5, model=model, encoder_type="", cuda=False,
+        density_num_class=16, pergroup=pergroup, gpus=[-1],
+    )
+
+
+def _init_flax(model, heads):
+    return jax.jit(
+        lambda r, x: model.init({"params": r}, x, train=False, heads=heads)
+    )(jax.random.key(0), jnp.zeros((1, N, 3), jnp.float32))
+
+
+def _perturb(variables, seed):
+    """Random params + non-trivial BN running stats: at init BN is an
+    (almost) identity, which would hide running_mean/var mapping bugs.
+
+    Scales are deliberately moderate: the export mapping is f64-exact
+    (verified by recomputing both parameterisations in numpy f64 —
+    0.0 difference at every stage), but flax-f32 vs torch-f32 forwards
+    accumulate independent rounding that ReLU zero-crossings and
+    max-pool argmax swaps amplify; large perturbations push that noise
+    to ~1% and drown the signal. At these scales the noise floor is
+    ~1e-5 while any mapping bug (swapped stats, misrouted BN, lost
+    bias) shows at the perturbation scale, well above the 1e-3 gate."""
+    rng = np.random.default_rng(seed)
+
+    def p_leaf(a):
+        a = np.asarray(a, np.float32)
+        return a + 0.02 * rng.standard_normal(a.shape).astype(np.float32)
+
+    def s_leaf(path, a):
+        a = np.asarray(a, np.float32)
+        if path[-1].key == "var":
+            return rng.uniform(0.9, 1.1, a.shape).astype(np.float32)
+        return 0.05 * rng.standard_normal(a.shape).astype(np.float32)
+
+    return {
+        "params": jax.tree_util.tree_map(p_leaf, variables["params"]),
+        "batch_stats": jax.tree_util.tree_map_with_path(
+            s_leaf, variables["batch_stats"]),
+    }
+
+
+def _cloud(rng):
+    return rng.standard_normal((B, N, 3)).astype(np.float32)
+
+
+def _cf(x):
+    return torch.from_numpy(np.asarray(x)).permute(0, 2, 1).contiguous()
+
+
+def _load_strict(ref, sd_np):
+    """strict load_state_dict of a numpy export — asserts the exported
+    key/shape inventory matches the reference model exactly."""
+    ref.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                         for k, v in sd_np.items()})
+    return ref.eval()
+
+
+class TestExportDGCNN:
+    heads = ("defrec", "normal", "scan", "density")
+
+    def _variables(self):
+        return _perturb(_init_flax(DGCNN(num_classes=10, k=20), self.heads), 1)
+
+    def test_strict_load_and_forward(self, rng):
+        model = DGCNN(num_classes=10, k=20)
+        v = self._variables()
+        ref = _load_strict(refM.DGCNN(_ref_args("dgcnn")), export_dgcnn(v))
+
+        x = _cloud(rng)
+        got = model.apply(v, jnp.asarray(x), train=False, heads=self.heads)
+        with torch.no_grad():
+            want = ref(_cf(x), activate_DefRec=True, activate_normal=True,
+                       activate_scan=True, activate_density=True)
+        for ours, theirs in (("cls", "cls"), ("defrec", "DefRec"),
+                             ("normal", "Normal"), ("scan", "Rec_scan")):
+            np.testing.assert_allclose(
+                np.asarray(got[ours]), want[theirs].numpy(),
+                rtol=1e-3, atol=1e-3, err_msg=ours)
+        np.testing.assert_allclose(
+            np.asarray(got["density"]).reshape(B * N, -1),
+            want["density"].numpy(), rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(got["density_mse"]).reshape(-1),
+            want["density_mse"].numpy(), rtol=1e-3, atol=1e-3)
+
+    def test_import_export_roundtrip_exact(self):
+        """import(export(v)) reproduces every flax leaf bit-exactly (the
+        DGCNN decompositions are lossless in both directions)."""
+        v = self._variables()
+        v2 = import_dgcnn(
+            {k: torch.from_numpy(np.ascontiguousarray(a))
+             for k, a in export_dgcnn(v).items()},
+            _init_flax(DGCNN(num_classes=10, k=20), self.heads))
+        for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(v),
+            jax.tree_util.tree_leaves_with_path(v2),
+        ):
+            assert pa == pb
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=str(pa))
+
+    def test_missing_head_strict_raises(self):
+        v = _init_flax(DGCNN(num_classes=10, k=20), ("defrec",))
+        with pytest.raises(CheckpointMismatchError, match="NormPred"):
+            export_dgcnn(v)
+        sd = export_dgcnn(v, strict=False)  # partial export still works
+        assert "DefRec.conv1.weight" in sd
+        assert not any(k.startswith("Norm_pred") for k in sd)
+
+    def test_save_torch_checkpoint_roundtrip(self, tmp_path, rng):
+        v = self._variables()
+        path = str(tmp_path / "model.pt")
+        save_torch_checkpoint(export_dgcnn(v), path)
+        sd = load_torch_state_dict(path)
+        ref = _load_strict(refM.DGCNN(_ref_args("dgcnn")), {
+            k: t.numpy() for k, t in sd.items()})
+        x = _cloud(rng)
+        with torch.no_grad():
+            want = ref(_cf(x))
+        got = DGCNN(num_classes=10, k=20).apply(
+            v, jnp.asarray(x), train=False)
+        np.testing.assert_allclose(
+            np.asarray(got["cls"]), want["cls"].numpy(), rtol=1e-3, atol=1e-3)
+
+
+class TestExportPointNet:
+    def test_strict_load_and_forward(self, rng):
+        model = PointNet(num_classes=10)
+        v = _perturb(_init_flax(model, ("defrec",)), 2)
+        ref = _load_strict(refM.PointNet(_ref_args("pointnet")),
+                           export_pointnet(v))
+
+        x = _cloud(rng)
+        got = model.apply(v, jnp.asarray(x), train=False, heads=("defrec",))
+        with torch.no_grad():
+            want = ref(_cf(x), activate_DefRec=True)
+        np.testing.assert_allclose(
+            np.asarray(got["cls"]), want["cls"].numpy(), rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(got["defrec"]), want["DefRec"].numpy(),
+            rtol=1e-3, atol=1e-3)
+
+
+class TestExportDGCNNSeg:
+    heads = ("seg", "defrec", "normal", "density")
+
+    def test_strict_load_and_forward(self, rng):
+        model = DGCNNSeg(num_classes=8, k=20, pergroup=5.0)
+        v = _perturb(_init_flax(model, self.heads), 3)
+        args = _ref_args("dgcnn", pergroup=5.0)
+        ref = _load_strict(
+            refSegM.DGCNN_DefRec(args, in_size=3, num_classes=8),
+            export_dgcnn_seg(v, pergroup=5.0))
+
+        x = _cloud(rng)
+        got = model.apply(v, jnp.asarray(x), train=False, heads=self.heads)
+        with torch.no_grad():
+            want = ref(_cf(x), make_seg=True, activate_DefRec=True,
+                       activate_normal=True, activate_density=True)
+        for ours, theirs in (("seg", "seg"), ("defrec", "DefRec"),
+                             ("normal", "Normal")):
+            np.testing.assert_allclose(
+                np.asarray(got[ours]), want[theirs].numpy(),
+                rtol=1e-3, atol=1e-3, err_msg=ours)
+        np.testing.assert_allclose(
+            np.asarray(got["density"]).reshape(B * N, -1),
+            want["density"].numpy(), rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(got["density_mse"]).reshape(-1),
+            want["density_mse"].numpy(), rtol=1e-3, atol=1e-3)
+
+
+class TestExportCLI:
+    def test_export_subcommand_end_to_end(self, tmp_path, rng):
+        """native .ckpt -> `mlsp-tpu export` -> reference strict load ->
+        forward equality vs the originating flax state."""
+        from mlsp_tpu.cli import main
+        from mlsp_tpu.train.state import create_train_state
+        from mlsp_tpu.utils.checkpoint import save_train_state
+
+        model = PointNet(num_classes=10)
+        v = _perturb(_init_flax(model, ("defrec",)), 4)
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((1, N, 3), jnp.float32),
+            heads=("defrec",))
+        state = state.replace(params=v["params"],
+                              batch_stats=v["batch_stats"])
+        ckpt = str(tmp_path / "model.ckpt")
+        save_train_state(ckpt, state)
+
+        out = str(tmp_path / "model.pt")
+        assert main([
+            "export", "--model_file", ckpt, "--model", "pointnet",
+            "--num_points", str(N), "--output", out,
+            "--out_path", str(tmp_path), "--exp_name", "EXP",
+        ]) == 0
+
+        ref = _load_strict(
+            refM.PointNet(_ref_args("pointnet")),
+            {k: t.numpy() for k, t in load_torch_state_dict(out).items()})
+        x = _cloud(rng)
+        with torch.no_grad():
+            want = ref(_cf(x), activate_DefRec=True)
+        got = model.apply(v, jnp.asarray(x), train=False, heads=("defrec",))
+        np.testing.assert_allclose(
+            np.asarray(got["cls"]), want["cls"].numpy(),
+            rtol=1e-3, atol=1e-3)
