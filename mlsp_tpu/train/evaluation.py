@@ -222,6 +222,8 @@ def run_export(cfg: EvalConfig, io: IOStream | None = None) -> dict:
     sd = exporters[cfg.model](
         {"params": state.params, "batch_stats": state.batch_stats})
     out_path = cfg.output or os.path.join(io.path, "model.pt")
+    if os.path.dirname(out_path):
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
     torch_export.save_torch_checkpoint(sd, out_path)
     summary = {"output": out_path, "model": cfg.model, "keys": len(sd)}
     io.cprint(json.dumps(summary))

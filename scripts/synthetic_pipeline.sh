@@ -30,3 +30,14 @@ python -m mlsp_tpu.cli spst \
     --src_dataset modelnet --trgt_dataset scannet --synthetic 1 \
     --model_file "$OUT/mlsp/model.ckpt" --threshold "$THRESHOLD" \
     --rounds 2 --epochs 5 --out_path "$OUT" --exp_name spst
+
+# Round-trip through the reference's checkpoint format: export the
+# trained model as a strict-loadable torch model.pt, then re-evaluate it
+# via the torch importer — the eval line must match the native one.
+python -m mlsp_tpu.cli export \
+    --model_file "$OUT/mlsp/model.ckpt" --model dgcnn \
+    --output "$OUT/export/model.pt" --out_path "$OUT" --exp_name export
+
+python -m mlsp_tpu.cli eval \
+    --model_file "$OUT/export/model.pt" --from_torch 1 --dataset scannet \
+    --split test --synthetic 1 --out_path "$OUT" --exp_name eval_pt
