@@ -201,6 +201,11 @@ def run_export(cfg: EvalConfig, io: IOStream | None = None) -> dict:
     if cfg.model not in exporters:
         raise ValueError(
             f"export supports dgcnn/pointnet/dgcnn_seg, not {cfg.model!r}")
+    if (cfg.model == "dgcnn_seg") != (cfg.task == "pointsegda"):
+        raise ValueError(
+            f"model {cfg.model!r} does not belong to task {cfg.task!r}: "
+            "dgcnn_seg requires --task pointsegda; dgcnn/pointnet require "
+            "--task pointda")
 
     key = jax.random.key(cfg.seed)
     sample = jnp.zeros((1, cfg.num_points, 3), jnp.float32)
@@ -214,7 +219,15 @@ def run_export(cfg: EvalConfig, io: IOStream | None = None) -> dict:
     else:
         from mlsp_tpu.models import make_model
 
-        model = make_model(cfg.model, cfg.num_class, dropout=cfg.dropout)
+        # Mirror _setup's dgcnn kwargs: the density head width/bins must
+        # match the checkpoint for the importer's shape checks (and the
+        # analytic fc2 bins) to line up.
+        model = make_model(
+            cfg.model, cfg.num_class, dropout=cfg.dropout,
+            **(dict(density_num_cls=cfg.density_num_class,
+                    pergroup=cfg.pergroup, knn_backend=cfg.knn_backend)
+               if cfg.model == "dgcnn" else {}),
+        )
         heads = model_heads(cfg.model)
     state = create_train_state(model, key, sample, heads=heads)
     state = _load_weights(cfg, state, io)

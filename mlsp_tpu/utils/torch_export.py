@@ -40,7 +40,10 @@ import warnings
 
 import numpy as np
 
-from mlsp_tpu.utils.torch_import import CheckpointMismatchError
+from mlsp_tpu.utils.torch_import import (
+    CheckpointMismatchError,
+    _edge_block_name,
+)
 
 # Residual ‖D1·W_c − C1·C0‖/‖C1·C0‖ above which the seg double-block
 # solve is reported as lossy (D1 effectively rank-deficient).
@@ -216,19 +219,25 @@ def export_dgcnn(variables: dict, pergroup: float = 2.0,
 
     # EdgeConv stages: reassemble the concat weight [W_d | W_c].
     def edge_stage(i: int, dst: str) -> None:
-        blk = _edge_block(e.params, i)
+        blk = _edge_block_name(e.params, i)
         wd = _f32(e.node([blk, "w_diff"])["kernel"]).T    # [out, cin]
         wc = _f32(e.node([blk, "w_center"])["kernel"]).T
         w = np.concatenate([wd, wc], axis=1)              # [out, 2*cin]
         e.put(f"{dst}.conv.0.weight", w.reshape(w.shape + (1, 1)))
         if "BatchNorm_0" in e.params[blk]:  # direct EdgeConv
             e.bn(f"{dst}.conv.1", [blk, "BatchNorm_0"])
-        else:  # EdgeConvM: scale/bias at block level
-            e.put(f"{dst}.conv.1.weight", e.node([blk])["scale"])
-            e.put(f"{dst}.conv.1.bias", e.node([blk])["bias"])
-            s = e.node([blk], stats=True)
-            e.put(f"{dst}.conv.1.running_mean", s["mean"])
-            e.put(f"{dst}.conv.1.running_var", s["var"])
+        else:  # EdgeConvM: scale/bias at block level. Read ALL four
+            # sources before writing anything (same atomicity contract
+            # as bn()/torch_import.set_bn): a partial strict=False
+            # export must never pair trained affine params with
+            # torch-init running stats.
+            p, s = e.node([blk]), e.node([blk], stats=True)
+            scale, bias = p["scale"], p["bias"]
+            mean, var = s["mean"], s["var"]
+            e.put(f"{dst}.conv.1.weight", scale)
+            e.put(f"{dst}.conv.1.bias", bias)
+            e.put(f"{dst}.conv.1.running_mean", mean)
+            e.put(f"{dst}.conv.1.running_var", var)
             e.out[f"{dst}.conv.1.num_batches_tracked"] = np.asarray(0, np.int64)
 
     for i, dst in enumerate(["conv1", "conv2", "conv3", "conv4"]):
@@ -251,13 +260,6 @@ def export_dgcnn(variables: dict, pergroup: float = 2.0,
         e.missing.append("DensityCls")
 
     return e.finish(strict)
-
-
-def _edge_block(params: dict, i: int) -> str:
-    for prefix in ("EdgeConvM_", "EdgeConv_"):
-        if f"{prefix}{i}" in params:
-            return f"{prefix}{i}"
-    raise KeyError(f"EdgeConv block {i}")
 
 
 # ---------------------------------------------------------------------------
