@@ -286,3 +286,21 @@ class TestExportCLI:
         np.testing.assert_allclose(
             np.asarray(got["cls"]), want["cls"].numpy(),
             rtol=1e-3, atol=1e-3)
+
+    def test_model_task_mismatch_rejected(self, tmp_path):
+        from mlsp_tpu.train.evaluation import run_export
+        from mlsp_tpu.utils.config import EvalConfig
+
+        # NB: (task=pointsegda, model=dgcnn) cannot reach the check —
+        # resolved() rewrites the pointda-default model to dgcnn_seg.
+        with pytest.raises(ValueError, match="does not belong to task"):
+            run_export(EvalConfig(task="pointsegda", model="pointnet",
+                                  model_file="x.ckpt",
+                                  out_path=str(tmp_path)))
+        with pytest.raises(ValueError, match="does not belong to task"):
+            run_export(EvalConfig(task="pointda", model="dgcnn_seg",
+                                  model_file="x.ckpt",
+                                  out_path=str(tmp_path)))
+        with pytest.raises(ValueError, match="export supports"):
+            run_export(EvalConfig(model="transformer", model_file="x.ckpt",
+                                  out_path=str(tmp_path)))
