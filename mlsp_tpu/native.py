@@ -41,7 +41,10 @@ def load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO) and not _build():
+    src = os.path.join(_DIR, "mlsp_host.cpp")
+    stale = (os.path.exists(src) and os.path.exists(_SO)
+             and os.path.getmtime(src) > os.path.getmtime(_SO))
+    if (not os.path.exists(_SO) or stale) and not _build():
         return None
     lib = ctypes.CDLL(_SO)
     f32p = ctypes.POINTER(ctypes.c_float)

@@ -11,8 +11,8 @@ tree, and it runs inside the jitted train step.
 
 Parity quirks reproduced from the reference:
   * PCL returns a 0-padded index matrix and the reference counts entries
-    `!= 0`, so point index 0 is never counted as a neighbour. We subtract
-    the self-radius hit on column 0 to match.
+    `!= 0`, so point index 0 is never counted as a neighbour — but only
+    when it is actually among the K returned (the K nearest in radius).
   * Counts are capped at K (=100) returned neighbours.
   * `row = clip(count - shift, 0, (num_cls-1)*pergroup)`; the class vector
     is the mean of one-hots at floor(row/pergroup) and ceil(row/pergroup).
@@ -44,10 +44,17 @@ def radius_count(xyz: jax.Array, radius: jax.Array | float, cap: int = 100) -> j
     r2 = jnp.asarray(radius, jnp.float32) ** 2
     within = (d <= r2).astype(jnp.float32)
     total = jnp.sum(within, axis=-1)  # includes self
-    # PCL truncates at `cap` results; the reference then ignores index 0 in
-    # the returned (0-padded) matrix. Column 0 is within the cap virtually
-    # always (it's within-radius and the cap rarely binds), so subtract it.
-    count = jnp.minimum(total, float(cap)) - within[..., 0]
+    # PCL/FLANN returns the `cap` NEAREST in-radius neighbours (sorted by
+    # distance); the reference then counts returned indices != 0, so point
+    # index 0 is excluded — but ONLY when it makes the top-`cap` cut. When
+    # the cap binds and point 0 is in radius yet not among the `cap`
+    # nearest, it was never returned and nothing is excluded. Rank point 0
+    # by counting in-radius points strictly closer (distance ties at point
+    # 0's distance are measure-zero and FLANN orders them arbitrarily).
+    d0 = d[..., 0:1]  # [B, N, 1] squared distance to point 0
+    closer = jnp.sum(within * (d < d0).astype(jnp.float32), axis=-1)
+    zero_returned = within[..., 0] * (closer < float(cap)).astype(jnp.float32)
+    count = jnp.minimum(total, float(cap)) - zero_returned
     return jnp.maximum(count, 0.0)
 
 

@@ -155,7 +155,7 @@ def run_infer(cfg: EvalConfig, io: IOStream | None = None) -> dict:
         raise ValueError("run_infer: empty split")
 
     scan = seg_steps.seg_eval_scan if cfg.task == "pointsegda" else steps.eval_scan
-    logits = np.asarray(scan(state, jnp.asarray(np.stack(stack_x))))
+    logits = steps.scan_in_chunks(scan, state, stack_x)
     logits = np.concatenate(
         [lg[:n] for lg, n in zip(logits, counts)], axis=0)
     order = np.concatenate(order)

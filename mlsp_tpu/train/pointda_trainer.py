@@ -27,11 +27,13 @@ from mlsp_tpu.utils.config import PointDAConfig
 from mlsp_tpu.utils.logging import IOStream
 
 
-def evaluate(state, data, label, batch_size, num_classes, indices=None):
+def evaluate(state, data, label, batch_size, num_classes, indices=None,
+             chunk=None):
     """Eval loop: accuracy, balanced accuracy, mean CE loss, confusion.
 
-    All batches (trailing one repetition-padded) are stacked and run as
-    one scanned device program.
+    Batches (trailing one repetition-padded) run as scanned device
+    programs of at most `chunk` (default `steps.EVAL_SCAN_CHUNK`) batches
+    each, so device staging is bounded regardless of split size.
     """
     stack_x, stack_y, counts = [], [], []
     for bx, by in batches(data, label, batch_size, indices=indices):
@@ -41,9 +43,8 @@ def evaluate(state, data, label, batch_size, num_classes, indices=None):
         counts.append(n)
     if not stack_x:
         raise ValueError("evaluate: empty evaluation split")
-    all_logits = np.asarray(
-        steps.eval_scan(state, jnp.asarray(np.stack(stack_x)))
-    )  # [S, B, C]
+    all_logits = steps.scan_in_chunks(steps.eval_scan, state, stack_x,
+                                      chunk)  # [S, B, C]
     preds, trues, losses = [], [], []
     for logits, by, n in zip(all_logits, stack_y, counts):
         logits = logits[:n]

@@ -27,12 +27,14 @@ from mlsp_tpu.utils.logging import IOStream
 MAX_LOSS = 9e9
 
 
-def evaluate_seg(state, data, label, batch_size):
+def evaluate_seg(state, data, label, batch_size, chunk=None):
     """Seg loss / mIoU / accuracy (averaged per sample, reference-style).
 
-    All batches (trailing one repetition-padded) are stacked and run as
-    one scanned device program (cf. `pointda_trainer.evaluate`).
+    Batches (trailing one repetition-padded) run as scanned device
+    programs of bounded chunk size (cf. `pointda_trainer.evaluate`).
     """
+    from mlsp_tpu.train.steps import scan_in_chunks
+
     stack_x, stack_y, counts = [], [], []
     for bx, by in batches(data, label, batch_size):
         bx, by, n = pad_batch(bx, by, batch_size)
@@ -41,9 +43,8 @@ def evaluate_seg(state, data, label, batch_size):
         counts.append(n)
     if not stack_x:
         raise ValueError("evaluate_seg: empty evaluation split")
-    all_logits = np.asarray(
-        seg_steps.seg_eval_scan(state, jnp.asarray(np.stack(stack_x)))
-    )  # [S, B, N, C]
+    all_logits = scan_in_chunks(seg_steps.seg_eval_scan, state, stack_x,
+                                chunk)  # [S, B, N, C]
     seg_loss = miou = acc = 0.0
     for logits, by, n in zip(all_logits, stack_y, counts):
         logits, by = logits[:n], by[:n]

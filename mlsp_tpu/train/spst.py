@@ -25,7 +25,9 @@ from mlsp_tpu.models import make_model
 from mlsp_tpu.train import steps
 from mlsp_tpu.train.pointda_trainer import evaluate
 from mlsp_tpu.train.guard import check_finite_losses
-from mlsp_tpu.train.state import create_train_state
+from mlsp_tpu.train.state import (
+    create_train_state, set_learning_rate, torch_cosine_lr,
+)
 from mlsp_tpu.train.steps import _apply, augment_batch, pcm_mix
 from mlsp_tpu.transforms.augment import random_rotate_one_axis
 from mlsp_tpu.utils import checkpoint
@@ -102,8 +104,8 @@ def select_pseudo_labels(state, data, label, indices, batch_size, threshold,
     """
     from mlsp_tpu.data.pipeline import pad_batch
 
-    # Stack all padded batches and run the selection forward as ONE
-    # scanned device program (cf. pointda_trainer.evaluate).
+    # Padded batches run as scanned device programs of bounded chunk
+    # size (cf. pointda_trainer.evaluate).
     stack_x, raw = [], []
     for bx, by in batches(data, label, batch_size, indices=indices):
         bx_p, _, n = pad_batch(bx, by, batch_size)
@@ -111,9 +113,8 @@ def select_pseudo_labels(state, data, label, indices, batch_size, threshold,
         raw.append((bx, by, n))
     pcs, plabels, tlabels = [], [], []
     if stack_x:
-        all_logits = np.asarray(
-            steps.eval_scan(state, jnp.asarray(np.stack(stack_x)))
-        )  # [S, B, C]
+        all_logits = steps.scan_in_chunks(steps.eval_scan, state,
+                                          stack_x)  # [S, B, C]
         for logits, (bx, by, n) in zip(all_logits, raw):
             conf = metrics.softmax_np(logits[:n])
             pred = conf.argmax(-1)
@@ -166,12 +167,16 @@ def train_spst(cfg: SPSTConfig, io: IOStream | None = None, initial_state=None,
     )
     sample = jnp.zeros((cfg.batch_size, cfg.num_points, 3), jnp.float32)
     key, ik = jax.random.split(key)
-    spe = len(trgt_train.train_ind) // cfg.batch_size
     heads = ("defrec", "normal", "scan", "density") if cfg.model == "dgcnn" else ("defrec",)
+    # The reference creates CosineAnnealingLR(T_max=epochs) ONCE and steps
+    # it per epoch of every round (`train_spst.py:163,501`) — torch's
+    # formula is cyclic, so with 2 rounds the LR rises back toward max in
+    # round 2. An epoch-indexed injected LR reproduces that exactly (a
+    # step-count schedule can't: SPST's per-epoch iteration count is the
+    # selection size, which varies by round).
     state = create_train_state(
         model, ik, sample, optimizer=cfg.optimizer, lr=cfg.lr, wd=cfg.wd,
-        momentum=cfg.momentum, epochs=cfg.epochs * cfg.rounds,
-        steps_per_epoch=max(spe, 1), heads=heads,
+        momentum=cfg.momentum, heads=heads, epoch_lr=True,
     )
     if initial_state is not None:
         state = state.replace(params=initial_state.params,
@@ -213,7 +218,10 @@ def train_spst(cfg: SPSTConfig, io: IOStream | None = None, initial_state=None,
             io.cprint(f"round {rnd}: only {len(pcs)} confident samples; skipping")
             continue
         for epoch in range(cfg.epochs):
-            io.cprint(f"spl_weight: {spl_weight:.4f}, cls_weight: {cls_weight:.4f}")
+            lr = torch_cosine_lr(cfg.lr, cfg.epochs, rnd * cfg.epochs + epoch)
+            state = set_learning_rate(state, lr)
+            io.cprint(f"spl_weight: {spl_weight:.4f}, cls_weight: "
+                      f"{cls_weight:.4f}, lr: {lr:.6f}")
             meters = MeterDict()
             t_iter = batches(pcs, plabels, cfg.batch_size, shuffle=True,
                              drop_last=True, rng=rng)

@@ -32,6 +32,54 @@ def cosine_per_epoch(base_lr: float, epochs: int, steps_per_epoch: int):
     return sched
 
 
+def torch_cosine_lr(base_lr: float, t_max: int, epoch: int) -> float:
+    """torch `CosineAnnealingLR(T_max=t_max)` closed form at scheduler
+    step `epoch` — deliberately NOT clamped at t_max: torch's recursion
+    is periodic, so stepping past T_max makes the LR rise back toward
+    `base_lr` (period 2*T_max). SPST creates the scheduler once with
+    T_max=epochs and steps it every epoch of every round
+    (`train_spst.py:163,501`), so round 2's LR climbs again."""
+    import math
+
+    return base_lr * 0.5 * (1.0 + math.cos(math.pi * epoch / t_max))
+
+
+def set_learning_rate(state, lr: float):
+    """Set the LR of a `make_epoch_lr_optimizer` train state (functional).
+
+    The opt-state pytree keeps its structure (the LR is a traced array
+    leaf), so jitted steps do NOT retrace on LR changes."""
+    os_ = state.opt_state
+    hp = dict(os_.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return state.replace(opt_state=os_._replace(hyperparams=hp))
+
+
+def make_epoch_lr_optimizer(name: str, lr: float, wd: float, momentum: float):
+    """Optimizer whose LR is an injected hyperparameter set explicitly
+    per epoch via `set_learning_rate` — for trainers whose reference
+    steps a torch scheduler once per EPOCH regardless of iteration count
+    (SPST: `train_spst.py:163,501`). A step-count schedule can't
+    reproduce that when the per-epoch iteration count varies (SPST's
+    does: it equals the pseudo-label selection size)."""
+    name = name.upper()
+
+    def inner(learning_rate):
+        if name == "SGD":
+            return optax.chain(
+                optax.add_decayed_weights(wd),
+                optax.trace(decay=momentum),
+                optax.scale_by_learning_rate(learning_rate),
+            )
+        return optax.chain(
+            optax.add_decayed_weights(wd),
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+            optax.scale_by_learning_rate(learning_rate),
+        )
+
+    return optax.inject_hyperparams(inner)(learning_rate=lr)
+
+
 def step_schedule(base_lr: float, decay_epochs: int, decay_rate: float,
                   steps_per_epoch: int):
     """StepLR-style schedule (reference `build_opti_sche` StepLR path)."""
@@ -104,6 +152,7 @@ def create_train_state(
     epochs: int = 150,
     steps_per_epoch: int = 100,
     heads: tuple[str, ...] = (),
+    epoch_lr: bool = False,
 ) -> TrainState:
     # Jit the init: eager init dispatches every layer op individually,
     # which is pathologically slow through a remote-TPU relay.
@@ -111,7 +160,10 @@ def create_train_state(
         lambda r, x: model.init({"params": r}, x, train=False, heads=heads)
     )
     variables = init_fn(rng, sample_input)
-    tx = make_optimizer(optimizer, lr, wd, momentum, epochs, steps_per_epoch)
+    if epoch_lr:
+        tx = make_epoch_lr_optimizer(optimizer, lr, wd, momentum)
+    else:
+        tx = make_optimizer(optimizer, lr, wd, momentum, epochs, steps_per_epoch)
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],

@@ -367,3 +367,25 @@ def eval_scan(state, xs):
     """Scanned eval: xs [S, B, N, 3] -> logits [S, B, C] in ONE device
     program (amortises per-dispatch overhead like the train scan)."""
     return _eval_forward_scan(state.apply_fn, state.params, state.batch_stats, xs)
+
+
+# Batches per eval/selection device dispatch. Bounds the staged input to
+# chunk*B*N*3 floats on host AND in HBM, so a real-dataset-sized split
+# cannot OOM either (the reference streams batch-by-batch,
+# `PointDA/trainer.py:298-331`; we stream chunk-by-chunk to keep the
+# per-dispatch amortisation). At most two program shapes compile per
+# split size (the full chunk and the remainder).
+EVAL_SCAN_CHUNK = 64
+
+
+def scan_in_chunks(scan_fn, state, batch_list, chunk=None):
+    """Run `scan_fn(state, [s, ...])` over a list of equal-shape batches
+    in bounded chunks; returns the stacked [S, ...] outputs as numpy."""
+    import numpy as np
+
+    chunk = chunk or EVAL_SCAN_CHUNK
+    outs = []
+    for s in range(0, len(batch_list), chunk):
+        xs = jnp.asarray(np.stack(batch_list[s : s + chunk]))
+        outs.append(np.asarray(scan_fn(state, xs)))
+    return np.concatenate(outs, axis=0)

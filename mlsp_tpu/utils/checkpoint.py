@@ -89,20 +89,29 @@ def load_model_weights(state, path: str, model_name: str = "",
 def load_train_state(path: str, state, with_optimizer: bool = True):
     """Restore a TrainState saved by `save_train_state`.
 
+    With `with_optimizer=False` the checkpoint's optimizer subtree is
+    ignored entirely — the receiving state may use a DIFFERENT optimizer
+    than the one that wrote the file (e.g. SPST's epoch-injected-LR Adam
+    fine-tuning a trainer checkpoint written with a schedule chain).
+
     Returns (state, epoch, metrics)."""
-    template = {
-        "params": state.params,
-        "batch_stats": state.batch_stats,
-        "opt_state": state.opt_state,
-        "step": state.step,
-        "epoch": 0,
-        "metrics": None,
-    }
-    restored = load(path, template)
-    state = state.replace(
-        params=restored["params"],
-        batch_stats=restored["batch_stats"],
-        step=restored["step"],
-        **({"opt_state": restored["opt_state"]} if with_optimizer else {}),
-    )
-    return state, restored["epoch"], restored["metrics"]
+    with open(path, "rb") as f:
+        data = f.read()
+    try:
+        raw = serialization.msgpack_restore(data)
+        params = serialization.from_state_dict(state.params, raw["params"])
+        bstats = serialization.from_state_dict(state.batch_stats,
+                                               raw["batch_stats"])
+        kw = {}
+        if with_optimizer:
+            kw["opt_state"] = serialization.from_state_dict(
+                state.opt_state, raw["opt_state"])
+        state = state.replace(params=params, batch_stats=bstats,
+                              step=raw["step"], **kw)
+    except (ValueError, KeyError, TypeError) as e:
+        raise ValueError(
+            f"checkpoint {path!r} does not match the model/optimizer "
+            f"structure it is being restored into (wrong model config, "
+            f"different heads, or a partial save?): {e}"
+        ) from e
+    return state, raw.get("epoch", 0), raw.get("metrics")

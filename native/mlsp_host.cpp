@@ -106,7 +106,13 @@ void mlsp_radius_count(const float* pts, int64_t n, float radius, int64_t cap,
         int cx = std::min(gx - 1, std::max(0, (int)((px - lo[0]) / cell)));
         int cy = std::min(gy - 1, std::max(0, (int)((py - lo[1]) / cell)));
         int cz = std::min(gz - 1, std::max(0, (int)((pz - lo[2]) / cell)));
-        int64_t total = 0;
+        // PCL/FLANN semantics: the `cap` NEAREST in-radius neighbours are
+        // returned; the caller then discards index 0. Point 0 is only
+        // discarded when it makes the top-`cap` cut, so rank it by
+        // counting in-radius points strictly closer than it.
+        const float z0x = pts[0] - px, z0y = pts[1] - py, z0z = pts[2] - pz;
+        const float d0 = z0x * z0x + z0y * z0y + z0z * z0z;
+        int64_t total = 0, closer = 0;
         bool zero_hit = false;
         for (int ax = std::max(0, cx - 1); ax <= std::min(gx - 1, cx + 1); ++ax)
             for (int ay = std::max(0, cy - 1); ay <= std::min(gy - 1, cy + 1); ++ay)
@@ -116,13 +122,16 @@ void mlsp_radius_count(const float* pts, int64_t n, float radius, int64_t cap,
                         const int32_t j = order[s];
                         const float dx = pts[3 * j] - px, dy = pts[3 * j + 1] - py,
                                     dz = pts[3 * j + 2] - pz;
-                        if (dx * dx + dy * dy + dz * dz <= r2) {
+                        const float dsq = dx * dx + dy * dy + dz * dz;
+                        if (dsq <= r2) {
                             ++total;
+                            if (dsq < d0) ++closer;
                             if (j == 0) zero_hit = true;
                         }
                     }
                 }
-        float cnt = (float)std::min(total, (int64_t)cap) - (zero_hit ? 1.0f : 0.0f);
+        const bool zero_returned = zero_hit && closer < (int64_t)cap;
+        float cnt = (float)std::min(total, (int64_t)cap) - (zero_returned ? 1.0f : 0.0f);
         out[i] = std::max(cnt, 0.0f);
     }
 }

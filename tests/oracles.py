@@ -51,12 +51,21 @@ def normals_np(xyz, k):
 
 
 def radius_count_np(xyz, radius, cap=100):
-    """PCL-quirk neighbour count (see mlsp_tpu.ops.density docstring)."""
+    """PCL-quirk neighbour count (see mlsp_tpu.ops.density docstring).
+
+    Faithful to the reference (`MLSP/mlsp.py:248-255`): FLANN returns the
+    `cap` NEAREST in-radius neighbours sorted by distance; the reference
+    counts returned indices != 0. Simulated literally: sort, truncate,
+    count nonzero indices.
+    """
     d = sqdist_np(xyz, xyz)
-    within = d <= radius**2
-    total = within.sum(-1)
-    cnt = np.minimum(total, cap) - within[:, 0]
-    return np.maximum(cnt, 0).astype(np.float64)
+    r2 = radius**2
+    out = np.zeros(xyz.shape[0])
+    for i in range(xyz.shape[0]):
+        hits = np.where(d[i] <= r2)[0]
+        returned = hits[np.argsort(d[i][hits], kind="stable")][:cap]
+        out[i] = np.count_nonzero(returned)
+    return out
 
 
 def density_labels_np(xyz, radius, num_cls=16, pergroup=2.0, shift=0.0):

@@ -121,6 +121,68 @@ class TestOptimizerFactory:
         np.testing.assert_allclose(float(s(50 * 10)), 0.5, atol=1e-6)
         np.testing.assert_allclose(float(s(100 * 10)), 0.0, atol=1e-6)
 
+    def test_spst_cyclic_cosine(self):
+        """torch CosineAnnealingLR(T_max=20) stepped 40 epochs across 2
+        SPST rounds is CYCLIC: decays to 0 at epoch 20, then rises back
+        (`train_spst.py:163,501`). Pin epochs 0/19/20/39."""
+        from mlsp_tpu.train.state import torch_cosine_lr
+
+        base, T = 1e-3, 20
+        np.testing.assert_allclose(torch_cosine_lr(base, T, 0), base)
+        np.testing.assert_allclose(
+            torch_cosine_lr(base, T, 19),
+            base * 0.5 * (1 + np.cos(np.pi * 19 / 20)), rtol=1e-12)
+        np.testing.assert_allclose(torch_cosine_lr(base, T, 20), 0.0,
+                                   atol=1e-18)
+        # round 2 end: nearly back at base lr
+        np.testing.assert_allclose(
+            torch_cosine_lr(base, T, 39),
+            base * 0.5 * (1 + np.cos(np.pi * 39 / 20)), rtol=1e-12)
+        assert torch_cosine_lr(base, T, 39) > 0.99 * base
+
+    def test_epoch_lr_optimizer_set_lr(self):
+        """`set_learning_rate` drives the injected LR: lr=0 leaves params
+        unchanged; the opt-state pytree structure is preserved."""
+        import jax
+        from mlsp_tpu.train.state import (
+            TrainState, make_epoch_lr_optimizer, set_learning_rate,
+        )
+
+        tx = make_epoch_lr_optimizer("ADAM", 1e-3, 1e-4, 0.9)
+        params = {"w": jnp.ones((4, 4))}
+        state = TrainState.create(apply_fn=None, params=params, tx=tx)
+        g = jax.tree_util.tree_map(jnp.ones_like, params)
+
+        s0 = set_learning_rate(state, 0.0)
+        assert (jax.tree_util.tree_structure(s0.opt_state)
+                == jax.tree_util.tree_structure(state.opt_state))
+        s0 = s0.apply_gradients(grads=g)
+        np.testing.assert_array_equal(np.asarray(s0.params["w"]), 1.0)
+
+        s1 = set_learning_rate(state, 1e-2).apply_gradients(grads=g)
+        assert float(jnp.abs(s1.params["w"] - 1.0).max()) > 1e-4
+
+
+class TestChunkedEval:
+    def test_matches_unchunked(self, rng):
+        """Bounded-chunk eval (oversized split vs tiny chunk) is exactly
+        the one-dispatch result."""
+        import jax
+        from mlsp_tpu.models import make_model
+        from mlsp_tpu.train.pointda_trainer import evaluate
+        from mlsp_tpu.train.state import create_train_state
+
+        model = make_model("pointnet", 4)
+        data = rng.standard_normal((50, 64, 3)).astype(np.float32)
+        label = rng.integers(0, 4, 50).astype(np.int64)
+        state = create_train_state(model, jax.random.key(0),
+                                   jnp.zeros((8, 64, 3)), heads=())
+        a = evaluate(state, data, label, 8, 4, chunk=2)
+        b = evaluate(state, data, label, 8, 4, chunk=100)
+        assert a["acc"] == b["acc"]
+        np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-6)
+        np.testing.assert_array_equal(a["conf_mat"], b["conf_mat"])
+
 
 class TestConfigYaml:
     def test_base_inheritance(self, tmp_path):

@@ -34,6 +34,17 @@ def test_radius_count_matches_oracle(rng):
     np.testing.assert_allclose(got, want)
 
 
+def test_radius_count_cap_boundary(rng):
+    # Dense cluster: the K=100 cap binds; point 0 at the edge misses the
+    # top-100 cut for central queries (cf. test_ops.TestDensity).
+    pts = (0.02 * rng.standard_normal((240, 3)) + 1.0).astype(np.float32)
+    pts[0] = pts[1:].mean(0) + np.float32([0.08, 0.0, 0.0])
+    got = native.radius_count(pts, 0.5, cap=100)
+    want = radius_count_np(pts, 0.5, cap=100)
+    assert want.max() == 100.0 and (want == 99.0).any()
+    np.testing.assert_array_equal(got, want)
+
+
 def test_normals_plane(rng):
     pts = rng.uniform(-1, 1, (256, 3)).astype(np.float32)
     pts[:, 2] = 0.0

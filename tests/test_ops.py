@@ -143,6 +143,20 @@ class TestDensity:
         val = np.asarray(val)
         assert val.min() >= 0.0 and val.max() <= 75.0
 
+    def test_cap_boundary(self, rng):
+        # Adversarial fixture: >100 in-radius neighbours, so the PCL K cap
+        # binds. Point 0 sits at the cluster edge: inside every query's
+        # radius, but NOT among the 100 nearest for central queries (the
+        # reference then counts 100, not 99 — `MLSP/mlsp.py:253-255`).
+        core = (0.02 * rng.standard_normal((240, 3)) + 1.0).astype(np.float32)
+        core[0] = core[1:].mean(0) + np.float32([0.08, 0.0, 0.0])
+        x = core[None]
+        want = radius_count_np(core, 0.5, cap=100)
+        got = np.asarray(ops.radius_count(x, 0.5))[0]
+        assert want.max() == 100.0  # the cap actually binds
+        assert (want == 99.0).any()  # ...and point 0 makes some cuts
+        np.testing.assert_array_equal(got, want)
+
 
 class TestChamfer:
     def test_reconstruction_loss(self, rng):
