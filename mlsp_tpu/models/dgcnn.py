@@ -82,6 +82,13 @@ class EdgeConvM(nn.Module):
     # (graph + weights stay f32) — halves the dominant gather traffic
     momentum: float = 0.9
     eps: float = 1e-5
+    kernel_k: int = 0  # >0: fused Pallas edge-moments kernel — kNN build
+    # + all four neighbourhood statistics in one gather/scatter-free
+    # kernel (`ops/pallas/edge_pallas.py`); `idx` is then ignored and the
+    # graph is built on `x` inside the kernel. Opt-in: on this image's
+    # throttled chip the per-row XLA sparse path measures faster
+    # (scripts/perf_edge_fused.py); on full-rate silicon the fused
+    # roofline wins. f32 only (gather_dtype is ignored).
 
     @nn.compact
     def __call__(self, x, idx, train: bool):
@@ -89,7 +96,7 @@ class EdgeConvM(nn.Module):
                      name="w_diff")(x)
         v = nn.Dense(self.features, use_bias=False, dtype=self.dtype,
                      name="w_center")(x)
-        if self.gather_dtype is not None:
+        if self.gather_dtype is not None and not self.kernel_k:
             u = u.astype(self.gather_dtype)
             v = v.astype(self.gather_dtype)
         c = v - u
@@ -103,12 +110,29 @@ class EdgeConvM(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((self.features,), jnp.float32))
 
-        g = knn_gather(u, idx)  # [B, N, k, C] — single neighbour pass
-        mx = jnp.max(g, axis=-2)
+        if self.kernel_k:
+            from mlsp_tpu.ops.pallas.edge_pallas import edge_moments
+
+            interp = jax.default_backend() != "tpu"
+            xg = x.astype(jnp.float32)
+            if train:
+                mx, mn, s1k, s2k = edge_moments(xg, u.astype(jnp.float32),
+                                                self.kernel_k, True,
+                                                interpret=interp)
+                s1, s2 = s1k / self.kernel_k, s2k / self.kernel_k
+            else:
+                mx, mn = edge_moments(xg, u.astype(jnp.float32),
+                                      self.kernel_k, False, interpret=interp)
+        else:
+            g = knn_gather(u, idx)  # [B, N, k, C] — single neighbour pass
+            mx = jnp.max(g, axis=-2)
+            mn = jnp.min(g, axis=-2)
+            if train:
+                gf = g.astype(jnp.float32)
+                s1 = jnp.mean(gf, axis=-2)
+                s2 = jnp.mean(gf * gf, axis=-2)
+
         if train:
-            gf = g.astype(jnp.float32)
-            s1 = jnp.mean(gf, axis=-2)
-            s2 = jnp.mean(gf * gf, axis=-2)
             cf = c.astype(jnp.float32)
             mu = jnp.mean(s1 + cf, axis=(0, 1))
             ez2 = jnp.mean(s2 + 2.0 * cf * s1 + cf * cf, axis=(0, 1))
@@ -118,8 +142,6 @@ class EdgeConvM(nn.Module):
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
         else:
             mu, var = ra_mean.value, ra_var.value
-
-        mn = jnp.min(g, axis=-2)
         s = gamma * jax.lax.rsqrt(var + self.eps)
         sel = jnp.where(s >= 0, mx.astype(jnp.float32), mn.astype(jnp.float32))
         y = s * (sel + c.astype(jnp.float32) - mu) + beta
@@ -141,7 +163,9 @@ class DGCNN(nn.Module):
     # carry most of the FLOPs and no kNN-graph dependency, so bf16 here is
     # safe when full-bf16 hurts convergence
     gather_dtype: t.Any = None  # EdgeConv neighbour-gather dtype (see EdgeConvM)
-    edge_impl: str = "moments"  # "moments" (1 neighbour pass) | "direct"
+    edge_impl: str = "moments"  # "moments" (1 neighbour pass) | "direct" |
+    # "fused" (gather/scatter-free Pallas edge-moments kernel — see
+    # EdgeConvM.kernel_k; faster only on full-rate silicon)
 
     def _edge(self, x):
         idx = knn_indices(x, self.k, backend=self.knn_backend)
@@ -169,7 +193,10 @@ class DGCNN(nn.Module):
         def knn_idx(feats):
             return knn_indices(feats, self.k, backend=self.knn_backend)
 
-        if self.edge_impl == "moments":
+        if self.edge_impl == "fused":
+            EC = functools.partial(EdgeConvM, kernel_k=self.k)
+            knn_idx = lambda feats: None  # noqa: E731 — built in-kernel
+        elif self.edge_impl == "moments":
             EC = functools.partial(EdgeConvM, gather_dtype=self.gather_dtype)
         else:
             EC = EdgeConv

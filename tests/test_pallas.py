@@ -74,6 +74,121 @@ class TestKnnMomentsPallas:
         assert np.quantile(cos, 0.01) > 0.999, np.quantile(cos, 0.01)
 
 
+class TestEdgeMomentsPallas:
+    """Fused gather/scatter-free EdgeConv statistics kernel."""
+
+    def _refs(self, xg, u, k):
+        from mlsp_tpu.ops.knn import knn_gather
+
+        idx = knn_indices(xg, k, backend="xla")
+        g = knn_gather(u, idx)
+        return (jnp.max(g, -2), jnp.min(g, -2), jnp.sum(g, -2),
+                jnp.sum(g * g, -2))
+
+    def test_forward_matches_gather_path(self, rng):
+        from mlsp_tpu.ops.pallas.edge_pallas import edge_moments
+
+        k = 6
+        xg = jnp.asarray(rng.standard_normal((2, 64, 8)), jnp.float32)
+        u = jnp.asarray(rng.standard_normal((2, 64, 16)), jnp.float32)
+        outs = edge_moments(xg, u, k, True, tile=32, interpret=True)
+        for name, got, want in zip("mx mn s1 s2".split(), outs,
+                                   self._refs(xg, u, k)):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-5, atol=1e-5, err_msg=name)
+        # eval variant (max/min only) is bit-identical to the full one
+        mx, mn = edge_moments(xg, u, k, False, tile=32, interpret=True)
+        np.testing.assert_array_equal(np.asarray(mx), np.asarray(outs[0]))
+        np.testing.assert_array_equal(np.asarray(mn), np.asarray(outs[1]))
+
+    def test_backward_matches_gather_path(self, rng):
+        """custom_vjp du == XLA scatter-path du, incl. equal-share ties
+        (duplicate points force exact-equal neighbour features)."""
+        from mlsp_tpu.ops.knn import knn_gather
+        from mlsp_tpu.ops.pallas.edge_pallas import edge_moments
+
+        k = 6
+        pts = rng.standard_normal((2, 64, 8)).astype(np.float32)
+        pts[:, 17] = pts[:, 3]  # duplicates -> ties in max/min credit
+        pts[:, 41] = pts[:, 3]
+        xg = jnp.asarray(pts)
+        u = jnp.asarray(rng.standard_normal((2, 64, 16)), jnp.float32)
+        u = u.at[:, 17].set(u[:, 3]).at[:, 41].set(u[:, 3])
+        w = jnp.asarray(rng.standard_normal((4, 2, 64, 16)), jnp.float32)
+        idx = knn_indices(xg, k, backend="xla")
+
+        def f_ref(u_):
+            g = knn_gather(u_, idx)
+            outs = (jnp.max(g, -2), jnp.min(g, -2), jnp.sum(g, -2),
+                    jnp.sum(g * g, -2))
+            return sum((w[i] * o).sum() for i, o in enumerate(outs))
+
+        def f_ker(u_):
+            outs = edge_moments(xg, u_, k, True, tile=32, interpret=True)
+            return sum((w[i] * o).sum() for i, o in enumerate(outs))
+
+        ga = np.asarray(jax.grad(f_ref)(u))
+        gb = np.asarray(jax.grad(f_ker)(u))
+        np.testing.assert_allclose(gb, ga, rtol=1e-5,
+                                   atol=1e-5 * np.abs(ga).max())
+
+    def test_no_gradient_to_graph_features(self, rng):
+        from mlsp_tpu.ops.pallas.edge_pallas import edge_moments
+
+        xg = jnp.asarray(rng.standard_normal((1, 32, 4)), jnp.float32)
+        u = jnp.asarray(rng.standard_normal((1, 32, 8)), jnp.float32)
+        g = jax.grad(lambda x_: sum(
+            o.sum() for o in edge_moments(x_, u, 4, True, 16, True)))(xg)
+        np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+    def test_edgeconvm_layer_fused_matches_gather(self, rng):
+        """One EdgeConvM layer, kernel_k vs gather path: same loss, same
+        param grads (single-graph granularity — at model level tiny f32
+        diffs flip near-tie neighbours in DEEPER dynamic-kNN graphs, a
+        documented tie sensitivity shared by all knn backends)."""
+        from mlsp_tpu.models.dgcnn import EdgeConvM
+
+        x = jnp.asarray(rng.standard_normal((2, 64, 3)), jnp.float32)
+        idx = knn_indices(x, 5, backend="xla")
+        m_a, m_b = EdgeConvM(16), EdgeConvM(16, kernel_k=5)
+        v = m_a.init({"params": jax.random.key(0)}, x, idx, True)
+        cot = jnp.asarray(rng.standard_normal((2, 64, 16)), jnp.float32)
+
+        def run(m, use_idx):
+            def loss(p):
+                o, upd = m.apply(
+                    {"params": p, "batch_stats": v["batch_stats"]}, x,
+                    idx if use_idx else None, True, mutable=["batch_stats"])
+                return (o * cot).sum(), upd
+
+            (l, upd), g = jax.value_and_grad(loss, has_aux=True)(v["params"])
+            return l, g, upd["batch_stats"]
+
+        la, ga, sa = run(m_a, True)
+        lb, gb, sb = run(m_b, False)
+        np.testing.assert_allclose(float(lb), float(la), rtol=1e-5)
+        for t_a, t_b in ((ga, gb), (sa, sb)):
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-4,
+                    atol=1e-5 * max(float(jnp.abs(a).max()), 1.0)),
+                t_a, t_b)
+
+    def test_dgcnn_fused_forward_matches_moments(self, rng):
+        """Full DGCNN forward with edge_impl='fused' matches 'moments'."""
+        from mlsp_tpu.models import DGCNN
+
+        x = jnp.asarray(rng.standard_normal((2, 64, 3)), jnp.float32)
+        key = jax.random.key(0)
+        m0 = DGCNN(num_classes=10, k=5, knn_backend="xla",
+                   edge_impl="moments")
+        m1 = DGCNN(num_classes=10, k=5, knn_backend="xla", edge_impl="fused")
+        v0 = m0.init({"params": key}, x, train=False)
+        a = np.asarray(m0.apply(v0, x, train=False)["cls"])
+        b = np.asarray(m1.apply(v0, x, train=False)["cls"])
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
+
+
 class TestFpsPallas:
     def test_matches_xla(self, rng):
         import functools
