@@ -54,8 +54,11 @@ class EdgeConv(nn.Module):
         v = nn.Dense(self.features, use_bias=False, dtype=self.dtype,
                      name="w_center")(x)
         z = knn_gather(u, idx) + (v - u)[:, :, None, :]  # [B, N, k, C]
-        z = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32)(z).astype(z.dtype)
+        from mlsp_tpu.models.layers import TorchBatchNorm
+
+        z = TorchBatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, dtype=jnp.float32,
+                           name="BatchNorm_0")(z).astype(z.dtype)
         return jnp.max(act_fn(self.activation)(z), axis=-2)
 
 
@@ -138,8 +141,15 @@ class EdgeConvM(nn.Module):
             ez2 = jnp.mean(s2 + 2.0 * cf * s1 + cf * cf, axis=(0, 1))
             var = jnp.maximum(ez2 - mu * mu, 0.0)
             if not self.is_initializing():
+                # Torch updates running_var with the UNBIASED variance of
+                # the virtual [B, N, k, C] edge tensor (n = B*N*k elements
+                # per channel) — see layers.TorchBatchNorm.
+                B, N = x.shape[0], x.shape[1]
+                k = self.kernel_k if self.kernel_k else idx.shape[-1]
+                n = B * N * k
+                unbiased = var * (n / max(n - 1, 1))
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mu
-                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * unbiased
         else:
             mu, var = ra_mean.value, ra_var.value
         s = gamma * jax.lax.rsqrt(var + self.eps)

@@ -26,6 +26,58 @@ def act_fn(name: str):
     raise ValueError(f"unknown activation {name!r}")
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch's exact running-statistics semantics.
+
+    Drop-in for `nn.BatchNorm` (same "scale"/"bias" params and
+    "mean"/"var" batch_stats, same reduction over every axis but the
+    last, same forward normalization with the BIASED batch variance) —
+    but the running-variance update uses the UNBIASED (Bessel-corrected)
+    variance, as torch `_BatchNorm` does. flax updates with the biased
+    variance, which skews `running_var` by n/(n-1): negligible for
+    per-point/edge norms (n = B*N or B*N*k) but ~3% for the
+    classifier-head norms (n = B = 32) — visible in eval logits and in
+    the train-trajectory differential vs the reference trainer.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9  # flax convention: ra = m*ra + (1-m)*batch
+    epsilon: float = 1e-5
+    dtype: t.Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        axes = tuple(range(x.ndim - 1))
+        gamma = self.param("scale", nn.initializers.ones, (feat,),
+                           jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (feat,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        xf = x.astype(jnp.float32)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean = jnp.mean(xf, axes)
+            # Two-pass variance, like torch: E[(x-mu)^2]. The one-pass
+            # E[x^2]-mu^2 (flax fast variance) cancels catastrophically
+            # when mu^2 >> var — measured 8% train-mode output error vs
+            # torch on scan-occluded clouds (many exact-zero points).
+            d = xf - mean
+            var = jnp.mean(d * d, axes)  # biased (forward, torch-style)
+            if not self.is_initializing():
+                n = x.size // feat
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * unbiased
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * gamma + beta
+        return y.astype(self.dtype if self.dtype is not None else x.dtype)
+
+
 class SplitDense(nn.Module):
     """Dense over an implicit `concat([a, broadcast(b)], -1)` input.
 
@@ -86,9 +138,9 @@ class DenseBN(nn.Module):
             x = nn.Dense(self.features, use_bias=self.use_bias,
                          dtype=self.dtype)(x)
         if self.use_bn:
-            x = nn.BatchNorm(
+            x = TorchBatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=jnp.float32,
+                dtype=jnp.float32, name="BatchNorm_0",
             )(x).astype(x.dtype)
         return act_fn(self.activation)(x)
 

@@ -75,19 +75,21 @@ class GroupEncoder(nn.Module):
         h = DenseBN(128, "relu")(neigh, train)
         h = nn.Dense(256)(h)
 
-        def stage(h, out):
+        from mlsp_tpu.models.layers import TorchBatchNorm
+
+        def stage(h, out, bn_name):
             g = jnp.max(h, axis=-2, keepdims=True)  # [B, G, 1, 256]
             # Dense over concat([broadcast(g), h]) expressed as the sum of
             # two matmuls: identical algebra, skips materialising the
             # 512-wide concat, and avoids a Mosaic compiler abort on the
             # broadcast->concat->matmul fusion (seen on v5e remote compile).
             z = nn.Dense(512)(g) + nn.Dense(512, use_bias=False)(h)
-            z = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5)(z)
+            z = TorchBatchNorm(use_running_average=not train, momentum=0.9,
+                               epsilon=1e-5, name=bn_name)(z)
             return nn.Dense(out)(nn.relu(z))
 
-        h = stage(h, 256)  # add_conv1 (`model_utils.py:303-309,331-334`)
-        z = stage(h, self.dim)  # second_conv
+        h = stage(h, 256, "BatchNorm_0")  # add_conv1 (`model_utils.py:303-309,331-334`)
+        z = stage(h, self.dim, "BatchNorm_1")  # second_conv
         return jnp.max(z, axis=-2)  # [B, G, dim]
 
 

@@ -64,23 +64,25 @@ class RelativeGroupEncoder(nn.Module):
         x = rel
         if self.use_absolute:
             x = jnp.concatenate([rel, rel + centers[:, :, None, :]], axis=-1)
+        from mlsp_tpu.models.layers import TorchBatchNorm
+
         h = nn.Dense(128)(x)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(h)
+        h = TorchBatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, name="BatchNorm_0")(h)
         h = nn.relu(h)
         h = nn.Dense(256)(h)  # [B, G, M, 256]
 
-        def stage(h, width, out):
+        def stage(h, width, out, bn_name):
             # Dense over concat([max_M(h) bcast, h, rel]) (515 channels)
             g = jnp.max(h, axis=-2, keepdims=True)  # [B, G, 1, 256]
             z = (nn.Dense(width)(g) + nn.Dense(width, use_bias=False)(h)
                  + nn.Dense(width, use_bias=False)(rel))
-            z = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5)(z)
+            z = TorchBatchNorm(use_running_average=not train, momentum=0.9,
+                               epsilon=1e-5, name=bn_name)(z)
             return nn.Dense(out)(nn.relu(z))
 
-        h = stage(h, 515, 256)
-        h = stage(h, 515, self.dim)
+        h = stage(h, 515, 256, "BatchNorm_1")
+        h = stage(h, 515, self.dim, "BatchNorm_2")
         return jnp.max(h, axis=-2)  # [B, G, dim]
 
 

@@ -134,6 +134,8 @@ def _pointda_grads_inner(state, src_x, src_y, trgt_x, key, cfg):
     keys = jax.random.split(key, 17)
     src_x = augment_batch(keys[0], src_x)
     trgt_x = augment_batch(keys[1], trgt_x)
+    debug_aux = getattr(cfg, "debug_aux", False)
+    aux = {"aux_src": src_x, "aux_trgt": trgt_x} if debug_aux else {}
 
     def loss_fn(params):
         bstats = state.batch_stats
@@ -218,6 +220,11 @@ def _pointda_grads_inner(state, src_x, src_y, trgt_x, key, cfg):
                 trgt_x, cfg.radius, cfg.density_num_class, cfg.pergroup
             )
             dx, mask = T.deform_batch(keys[14], trgt_x, cfg.num_regions)
+            if debug_aux:
+                # through the has_aux output (a closure write would leak
+                # tracers out of the grad trace)
+                m.update(aux_dx=dx, aux_dmask=mask, aux_ngt=n_gt,
+                         aux_dvec=dvec, aux_dval=dval)
             logits, bstats = _apply(
                 state, params, bstats, dx, ("defrec", "normal", "density"), keys[15]
             )
@@ -285,6 +292,8 @@ def _pointda_grads_inner(state, src_x, src_y, trgt_x, key, cfg):
         return total, (m, bstats)
 
     grads, (m, bstats) = jax.grad(loss_fn, has_aux=True)(state.params)
+    if debug_aux:
+        m = {**m, **aux, "aux_grads": grads}
     return grads, m, bstats
 
 

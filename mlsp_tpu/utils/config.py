@@ -86,6 +86,12 @@ class PointDAConfig:
     head_dtype: str = ""
     gather_dtype: str = ""
     scan_steps: int = 16  # train steps fused per device dispatch (1 = off)
+    debug_aux: bool = False  # train step also returns its internal
+    # transform draws + raw grads in the metrics dict ("aux_*") — used by
+    # the torch trajectory differential, which must feed the reference
+    # the BIT-EXACT augmented/deformed arrays the jitted step consumed
+    # (an eager replay of the same PRNG keys can flip voxel-boundary
+    # region choices and diverge discretely)
     resume: str = ""  # checkpoint path to resume from (params+opt+epoch)
     save_every: int = 0  # also write last.ckpt every N epochs (preemption
     # tolerance: --resume last.ckpt loses at most N-1 epochs; 0 = off —

@@ -95,8 +95,12 @@ def get_unexpected_parameters_message(keys) -> str:
 
 
 def _np(t) -> np.ndarray:
-    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t,
-                      np.float32)
+    # np.array (COPY, not asarray): `tensor.numpy()` is a view of the
+    # torch parameter storage, and torch optimizers update parameters
+    # in-place — an imported model must not change when the source torch
+    # model trains on.
+    return np.array(t.detach().cpu().numpy() if hasattr(t, "detach") else t,
+                    np.float32)
 
 
 def _conv_kernel(w) -> np.ndarray:
