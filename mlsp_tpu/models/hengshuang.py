@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mlsp_tpu.models.layers import DenseBN
+from mlsp_tpu.models.layers import DenseBN, PointMLPHead
 from mlsp_tpu.models.transformer import feature_propagation
 from mlsp_tpu.ops.fps import fps, fps_gather
 from mlsp_tpu.ops.knn import knn_indices
@@ -79,8 +79,11 @@ class TransitionDown(nn.Module):
         B = xyz.shape[0]
         idx = fps(xyz, self.npoint, jnp.zeros((B,), jnp.int32))
         centers = fps_gather(xyz, idx)
-        nidx = knn_indices(centers, self.k, y=xyz)
+        nidx = knn_indices(centers, min(self.k, xyz.shape[1]), y=xyz)
         g = group_points(xyz, feats, centers, nidx)  # [B, S, k, 3+C]
+        # Two conv+BN+ReLU stages like the reference SA mlp
+        # ([channel, channel], `pointnet_util.py:166-172,191-194`).
+        g = DenseBN(self.channels, "relu")(g, train)
         g = DenseBN(self.channels, "relu")(g, train)
         return centers, jnp.max(g, axis=-2)
 
@@ -121,7 +124,9 @@ class Backbone(nn.Module):
         xyz, taps = x, [(x, feats)]
         for i in range(self.nblocks):
             ch = self.base_dim * 2 ** (i + 1)
-            npoint = max(N // 4 ** (i + 1), self.nneighbor)
+            # level sizes exactly as the reference (`hengshuang_model.py:65`):
+            # npoints // 4**(i+1), no neighbour floor (1024 -> 256/64/16/4)
+            npoint = max(N // 4 ** (i + 1), 1)
             xyz, feats = TransitionDown(npoint, self.nneighbor, ch)(xyz, feats, train)
             feats = VectorAttention(self.d_model, self.nneighbor)(xyz, feats, train)
             taps.append((xyz, feats))
@@ -173,23 +178,22 @@ class HengshuangTransformer(nn.Module):
         feats = taps[-1][1]
 
         pooled = jnp.mean(feats, axis=1)
+        # cls_head_finetune (`hengshuang_model.py:168-174`): plain
+        # Linear/ReLU stack, no dropout.
         h = nn.relu(nn.Dense(256)(pooled))
-        h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = nn.relu(nn.Dense(64)(h))
         logits = {"feat": pooled, "cls": nn.Dense(self.num_classes)(h)}
 
         if "defrec" in heads:
             # PointTransformerDef (`hengshuang_model.py:188-206`): full
-            # U-Net decode, then RegionReconstruction on the implicit
-            # concat [per-point 32-d | broadcast global]; first Dense
-            # runs split (layers.SplitDense), global half per cloud.
+            # U-Net decode, then RegionReconstruction(32+512) on the
+            # implicit concat [per-point 32-d | broadcast global]; the
+            # head is the same 4-layer per-point module as everywhere
+            # else (`Models.py:165-197`), SplitDense first layer.
             per_pt = UpDecoder(self.nblocks, self.nneighbor, self.d_model,
                                self.base_dim)(taps, train)
-            pp = (per_pt, pooled)
-            h = DenseBN(256, "relu")(pp, train)
-            h = nn.Dropout(self.dropout, deterministic=not train)(h)
-            h = DenseBN(128, "relu")(h, train)
-            logits["defrec"] = nn.Dense(3)(h)
+            logits["defrec"] = PointMLPHead(3, self.dropout, name="DefRec")(
+                (per_pt, pooled), train)
         return logits
 
 
@@ -222,9 +226,6 @@ class HengshuangSeg(nn.Module):
             h = nn.relu(nn.Dense(64, name="seg_fc2")(h))
             logits["seg"] = nn.Dense(self.num_classes, name="seg_out")(h)
         if "defrec" in heads:
-            pp = (per_pt, pooled)
-            h = DenseBN(256, "relu", name="def_fc1")(pp, train)
-            h = nn.Dropout(self.dropout, deterministic=not train)(h)
-            h = DenseBN(128, "relu", name="def_fc2")(h, train)
-            logits["defrec"] = nn.Dense(3, name="def_out")(h)
+            logits["defrec"] = PointMLPHead(3, self.dropout, name="DefRec")(
+                (per_pt, pooled), train)
         return logits

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mlsp_tpu.models.layers import Classifier, DenseBN, PointMLPHead
+from mlsp_tpu.models.layers import DenseBN, PointMLPHead
 from mlsp_tpu.ops.fps import fps, fps_gather
 from mlsp_tpu.ops.knn import knn_indices
 from mlsp_tpu.ops.pairwise import pairwise_sqdist
@@ -45,7 +45,10 @@ def group_points_knn(xyz: jax.Array, num_group: int, group_size: int,
 
 def feature_propagation(xyz_dst, xyz_src, feats_src, k: int = 3):
     """3-NN inverse-distance interpolation
-    (`PointNetFeaturePropagation`, `model_utils.py:549-599`)."""
+    (`PointNetFeaturePropagation`, `model_utils.py:549-599`; with a
+    single source point the weights collapse to 1 — the reference's
+    `S == 1` repeat branch)."""
+    k = min(k, xyz_src.shape[1])
     d = pairwise_sqdist(xyz_dst, xyz_src)  # [B, Nd, Ns]
     neg, idx = jax.lax.top_k(-d, k)
     w = 1.0 / (-neg + 1e-8)
@@ -118,8 +121,20 @@ class Block(nn.Module):
 
 
 class PointTransformer(nn.Module):
-    """trans_dim 384 / depth 12 / heads 6 / 64 groups x 32 pts
-    (`PointDA/config/PointTransformer.yaml`)."""
+    """trans_dim 384 / depth 12 / heads 6 / 64 groups x 32 pts / 256-dim
+    group encoder + reduce_dim bridge (`PointDA/config/
+    PointTransformer.yaml`, `Models.py:370-438`).
+
+    Stage-exact with the reference backbone (`Models.py:472-496`):
+    encoder -> reduce_dim -> [CLS] concat -> blocks with the pos embed
+    RE-ADDED at every block (`model_utils.py:283-289`) -> final
+    LayerNorm -> cls head Linear(768,256)+ReLU+Dropout+Linear — so
+    reference-pretrained checkpoints import directly
+    (`utils/torch_import.py::import_point_transformer`, the
+    `load_model_from_ckpt` path at `Models.py:446-470`). The DefRec
+    branch replaces the CUDA propagation pyramid with 3-NN feature
+    propagation of the (final-norm-applied) fetch_idx taps.
+    """
 
     num_classes: int = 10
     trans_dim: int = 384
@@ -127,6 +142,7 @@ class PointTransformer(nn.Module):
     heads: int = 6
     num_group: int = 64
     group_size: int = 32
+    encoder_dims: int = 256
     dropout: float = 0.5
     fetch_idx: tuple[int, ...] = (3, 7, 11)
 
@@ -136,11 +152,12 @@ class PointTransformer(nn.Module):
         B, N, _ = x.shape
         start = jnp.zeros((B,), jnp.int32) if rng_start is None else rng_start
         neigh, centers = group_points_knn(x, self.num_group, self.group_size, start)
-        tokens = GroupEncoder(self.trans_dim)(neigh, train)  # [B, G, D]
+        tokens = GroupEncoder(self.encoder_dims)(neigh, train)  # [B, G, E]
+        tokens = nn.Dense(self.trans_dim, name="reduce_dim")(tokens)
 
-        pos = nn.Dense(self.trans_dim)(
-            nn.gelu(nn.Dense(128)(centers))
-        )  # learned pos embed of centers (Models.py:334-338 equivalent)
+        pos = nn.Dense(self.trans_dim, name="pos_embed_1")(
+            nn.gelu(nn.Dense(128, name="pos_embed_0")(centers))
+        )  # learned pos embed of centers (Models.py:398-402)
         cls_tok = self.param(
             "cls_token", nn.initializers.truncated_normal(0.02),
             (1, 1, self.trans_dim),
@@ -155,27 +172,29 @@ class PointTransformer(nn.Module):
         p = jnp.concatenate(
             [jnp.broadcast_to(cls_pos, (B, 1, self.trans_dim)), pos], axis=1
         )
-        h = h + p
 
+        final_norm = nn.LayerNorm(name="norm")
         taps = []
         for i in range(self.depth):
-            h = Block(self.trans_dim, self.heads, name=f"block{i}")(h, train)
+            # pos re-added at EVERY block (`model_utils.py:287`)
+            h = Block(self.trans_dim, self.heads, name=f"block{i}")(h + p, train)
             if i in self.fetch_idx:
                 taps.append(h)
-        h = nn.LayerNorm()(h)
+        h = final_norm(h)
 
         feat = jnp.concatenate([h[:, 0], jnp.max(h[:, 1:], axis=1)], axis=-1)
         logits = {"feat": feat}
-        logits["cls"] = Classifier(self.num_classes, self.dropout, "dgcnn")(
-            DenseBN(1024, "leakyrelu")(feat, train), train
-        )
+        # cls_head_finetune (`Models.py:414-419`)
+        ch = nn.relu(nn.Dense(256, name="cls_head_0")(feat))
+        ch = nn.Dropout(self.dropout, deterministic=not train)(ch)
+        logits["cls"] = nn.Dense(self.num_classes, name="cls_head_1")(ch)
 
         if "defrec" in heads:
-            # Propagate multi-depth group tokens to every point
-            # (replaces the CUDA DGCNN_Propagation pyramid,
-            # Models.py:352-366,489-531).
+            # Propagate multi-depth group tokens (final-norm applied,
+            # `Models.py:501`) to every point — replaces the CUDA
+            # DGCNN_Propagation pyramid (Models.py:489-531).
             tap_feats = jnp.concatenate(
-                [t[:, 1:] for t in taps], axis=-1
+                [final_norm(t)[:, 1:] for t in taps], axis=-1
             )  # [B, G, 3*D]
             per_pt = feature_propagation(x, centers, tap_feats)  # [B, N, 3D]
             # Implicit concat [per_pt | broadcast(feat)]; first Dense

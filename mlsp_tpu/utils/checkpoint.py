@@ -73,11 +73,21 @@ def load_model_weights(state, path: str, model_name: str = "",
                 path, variables),
             "dgcnn_seg": lambda: torch_import.load_reference_dgcnn_seg(
                 path, variables, pergroup),
+            "point_transformer": lambda:
+                torch_import.load_reference_point_transformer(path, variables),
+            "transformer": lambda:
+                torch_import.load_reference_point_transformer(path, variables),
+            "hengshuang": lambda:
+                torch_import.load_reference_hengshuang(path, variables),
+            "hengshuang_transformer": lambda:
+                torch_import.load_reference_hengshuang(path, variables),
+            "hengshuang_seg": lambda:
+                torch_import.load_reference_hengshuang(path, variables),
         }.get(model_name)
         if loader is None:
             raise ValueError(
-                f"from_torch supports dgcnn/pointnet/dgcnn_seg, "
-                f"not {model_name!r}"
+                f"from_torch supports dgcnn/pointnet/dgcnn_seg/"
+                f"point_transformer/hengshuang, not {model_name!r}"
             )
         v = loader()
         return state.replace(params=v["params"],

@@ -493,6 +493,295 @@ def import_dgcnn_seg(sd: dict, variables: dict, pergroup: float = 5.0,
     return m.finish(strict)
 
 
+# ---------------------------------------------------------------------------
+# PointDA PointTransformer (`PointDA/Models.py:370-531`)
+# ---------------------------------------------------------------------------
+
+
+def _encoder_into_group_encoder(m: _Mapper, dst: str, src: str):
+    """Reference `Encoder` (`model_utils.py:292-336`, with the hardcoded
+    add_conv1 stage) -> `GroupEncoder`. The concat convs split into
+    sum-of-Dense pairs; cat order is [global(256) | h(256)]."""
+
+    def cols(name, sl):
+        w = _np(m.src(name + ".weight"))
+        return w.reshape(w.shape[0], w.shape[1])[:, sl].T
+
+    g256, h256 = slice(0, 256), slice(256, 512)
+    m.unit(m.densebn, [dst, "DenseBN_0"], f"{src}.first_conv.0",
+           f"{src}.first_conv.1")
+    m.unit(lambda: m.set_dense(
+        [dst, "Dense_0"], _conv_kernel(m.src(f"{src}.first_conv.3.weight")),
+        m.src(f"{src}.first_conv.3.bias")))
+    for stage, bn, d_g, d_h, d_out in (
+        ("add_conv1", "BatchNorm_0", "Dense_1", "Dense_2", "Dense_3"),
+        ("second_conv", "BatchNorm_1", "Dense_4", "Dense_5", "Dense_6"),
+    ):
+        def one(stage=stage, bn=bn, d_g=d_g, d_h=d_h, d_out=d_out):
+            m.set_dense([dst, d_g], cols(f"{src}.{stage}.0", g256),
+                        m.src(f"{src}.{stage}.0.bias"))
+            m.set_dense([dst, d_h], cols(f"{src}.{stage}.0", h256))
+            m.set_bn([dst, bn], [dst, bn], f"{src}.{stage}.1")
+            m.set_dense([dst, d_out],
+                        _conv_kernel(m.src(f"{src}.{stage}.3.weight")),
+                        m.src(f"{src}.{stage}.3.bias"))
+
+        m.unit(one)
+
+
+def import_point_transformer(sd: dict, variables: dict, heads: int = 6,
+                             strict: bool = True) -> dict:
+    """Map a reference `PointTransformer` state_dict (or a pretraining
+    checkpoint's backbone after `strip_pretrain_prefixes`) onto flax
+    variables from `models.transformer.PointTransformer.init`.
+
+    Covers the backbone the reference's `load_model_from_ckpt`
+    transfers (`Models.py:446-470`): group encoder, reduce_dim,
+    cls_token/cls_pos, pos_embed, ViT blocks (fused qkv split into flax
+    per-head projections; the reference uses qkv_bias=False, so missing
+    qkv biases become zeros), final LayerNorm, plus cls_head_finetune
+    when present (pretraining checkpoints lack the heads — use
+    strict=False there, like the reference's strict=False load). The
+    reference's CUDA DefRec pyramid (propagation_*/dgcnn_pro_*) is
+    deliberately NOT mapped — our DefRec branch is the redesigned 3-NN
+    propagation (those keys surface in the unexpected-keys report).
+    """
+    m = _Mapper(sd, variables, "PointTransformer")
+
+    _encoder_into_group_encoder(m, "GroupEncoder_0", "encoder")
+    m.unit(lambda: m.set_dense(
+        ["reduce_dim"], _linear_kernel(m.src("reduce_dim.weight")),
+        m.src("reduce_dim.bias")))
+
+    def token(dst, src):
+        t = _np(m.src(src))
+        if m.params[dst].shape != t.shape:
+            m.bad_shapes.append(
+                f"{dst}: checkpoint {t.shape} != model {m.params[dst].shape}")
+            return
+        m.params[dst] = t
+
+    m.unit(token, "cls_token", "cls_token")
+    m.unit(token, "cls_pos", "cls_pos")
+    m.unit(lambda: m.set_dense(
+        ["pos_embed_0"], _linear_kernel(m.src("pos_embed.0.weight")),
+        m.src("pos_embed.0.bias")))
+    m.unit(lambda: m.set_dense(
+        ["pos_embed_1"], _linear_kernel(m.src("pos_embed.2.weight")),
+        m.src("pos_embed.2.bias")))
+
+    def ln(dst_path, src):
+        node = m._node(m.params, dst_path)
+        node["scale"] = _np(m.src(src + ".weight"))
+        node["bias"] = _np(m.src(src + ".bias"))
+
+    depth = sum(1 for k in m.params if k.startswith("block"))
+    for i in range(depth):
+        src = f"blocks.blocks.{i}"
+        dst = f"block{i}"
+
+        def block(src=src, dst=dst):
+            ln([dst, "LayerNorm_0"], f"{src}.norm1")
+            ln([dst, "LayerNorm_1"], f"{src}.norm2")
+            # fused qkv [3D, D] -> flax per-head q/k/v kernels [D, H, Dh]
+            W = _np(m.src(f"{src}.attn.qkv.weight"))
+            D = W.shape[1]
+            dh = D // heads
+            node = m._node(m.params, [dst, "MultiHeadDotProductAttention_0"])
+            qkv_b = m.src_opt(f"{src}.attn.qkv.bias")
+            for j, nm in enumerate(("query", "key", "value")):
+                k_ = W[j * D:(j + 1) * D].T.reshape(D, heads, dh)
+                if node[nm]["kernel"].shape != k_.shape:
+                    m.bad_shapes.append(
+                        f"{dst}/{nm}: checkpoint {k_.shape} != model "
+                        f"{node[nm]['kernel'].shape}")
+                    return
+                node[nm]["kernel"] = k_.astype(np.float32)
+                node[nm]["bias"] = (
+                    _np(qkv_b)[j * D:(j + 1) * D].reshape(heads, dh)
+                    if qkv_b is not None
+                    else np.zeros((heads, dh), np.float32))  # qkv_bias=False
+            Wp = _np(m.src(f"{src}.attn.proj.weight"))
+            node["out"]["kernel"] = Wp.T.reshape(heads, dh, D).astype(np.float32)
+            node["out"]["bias"] = _np(m.src(f"{src}.attn.proj.bias"))
+            m.set_dense([dst, "Dense_0"],
+                        _linear_kernel(m.src(f"{src}.mlp.fc1.weight")),
+                        m.src(f"{src}.mlp.fc1.bias"))
+            m.set_dense([dst, "Dense_1"],
+                        _linear_kernel(m.src(f"{src}.mlp.fc2.weight")),
+                        m.src(f"{src}.mlp.fc2.bias"))
+
+        m.unit(block)
+
+    m.unit(ln, ["norm"], "norm")
+    m.unit(lambda: m.set_dense(
+        ["cls_head_0"], _linear_kernel(m.src("cls_head_finetune.0.weight")),
+        m.src("cls_head_finetune.0.bias")))
+    m.unit(lambda: m.set_dense(
+        ["cls_head_1"], _linear_kernel(m.src("cls_head_finetune.3.weight")),
+        m.src("cls_head_finetune.3.bias")))
+
+    return m.finish(strict)
+
+
+# ---------------------------------------------------------------------------
+# Hengshuang Point Transformer family
+# (`PointDA/hengshuang_transformer/hengshuang_model.py:1-211`)
+# ---------------------------------------------------------------------------
+
+
+def _vector_attention(m: _Mapper, dst, src):
+    """`TransformerBlock` (`transformer.py:7-44`) -> `VectorAttention`.
+
+    Dense construction order (flax numbers by construction; in `f(g(x))`
+    the OUTER module is constructed first): fc1, w_qs, w_ks, w_vs,
+    fc_delta (outer, inner), fc_gamma (outer, inner), fc2."""
+    m.set_dense(dst + ["Dense_0"], _linear_kernel(m.src(src + ".fc1.weight")),
+                m.src(src + ".fc1.bias"))
+    for j, nm in enumerate(("w_qs", "w_ks", "w_vs")):
+        m.set_dense(dst + [f"Dense_{j + 1}"],
+                    _linear_kernel(m.src(f"{src}.{nm}.weight")))
+    m.set_dense(dst + ["Dense_4"],
+                _linear_kernel(m.src(src + ".fc_delta.2.weight")),
+                m.src(src + ".fc_delta.2.bias"))
+    m.set_dense(dst + ["Dense_5"],
+                _linear_kernel(m.src(src + ".fc_delta.0.weight")),
+                m.src(src + ".fc_delta.0.bias"))
+    m.set_dense(dst + ["Dense_6"],
+                _linear_kernel(m.src(src + ".fc_gamma.2.weight")),
+                m.src(src + ".fc_gamma.2.bias"))
+    m.set_dense(dst + ["Dense_7"],
+                _linear_kernel(m.src(src + ".fc_gamma.0.weight")),
+                m.src(src + ".fc_gamma.0.bias"))
+    m.set_dense(dst + ["Dense_8"], _linear_kernel(m.src(src + ".fc2.weight")),
+                m.src(src + ".fc2.bias"))
+
+
+def import_hengshuang(sd: dict, variables: dict, nblocks: int = 4,
+                      strict: bool = True) -> dict:
+    """Map a reference hengshuang state_dict onto flax variables.
+
+    Handles `PointTransformerDef` (cls_head_finetune + decoder + DefRec,
+    `hengshuang_model.py:140-206`) for `HengshuangTransformer`, and
+    `PointTransformerSeg` (fc3 seg head, `:99-139`) for `HengshuangSeg`
+    — the variant is inferred from the TARGET's parameter tree; keys the
+    target lacks (e.g. no decoder when initialised without the defrec
+    head) are skipped, unknown source keys are reported."""
+    m = _Mapper(sd, variables, "Hengshuang")
+
+    # ---- Backbone (`hengshuang_model.py:49-77`) ----
+    bb = ["Backbone_0"]
+    pre = "backbone."
+    m.unit(lambda: m.set_dense(
+        bb + ["Dense_0"], _linear_kernel(m.src(pre + "fc1.2.weight")),
+        m.src(pre + "fc1.2.bias")))  # outer Linear(32,32)
+    m.unit(lambda: m.set_dense(
+        bb + ["Dense_1"], _linear_kernel(m.src(pre + "fc1.0.weight")),
+        m.src(pre + "fc1.0.bias")))  # inner Linear(3,32)
+    m.unit(_vector_attention, m, bb + ["VectorAttention_0"],
+           pre + "transformer1")
+    for i in range(nblocks):
+        td = bb + [f"TransitionDown_{i}"]
+        for j in range(2):
+            m.unit(m.densebn, td + [f"DenseBN_{j}"],
+                   f"{pre}transition_downs.{i}.sa.mlp_convs.{j}",
+                   f"{pre}transition_downs.{i}.sa.mlp_bns.{j}")
+        m.unit(_vector_attention, m, bb + [f"VectorAttention_{i + 1}"],
+               f"{pre}transformers.{i}")
+
+    # ---- classification head (Def variant `:168-174`) ----
+    if "Dense_0" in m.params:
+        for j, src in enumerate(("cls_head_finetune.0", "cls_head_finetune.2",
+                                 "cls_head_finetune.4")):
+            def one(j=j, src=src):
+                m.set_dense([f"Dense_{j}"],
+                            _linear_kernel(m.src(src + ".weight")),
+                            m.src(src + ".bias"))
+
+            m.unit(one)
+
+    # ---- seg head (`:120-126`) ----
+    if "seg_fc1" in m.params:
+        for dst, src in (("seg_fc1", "fc3.0"), ("seg_fc2", "fc3.2"),
+                         ("seg_out", "fc3.4")):
+            def one(dst=dst, src=src):
+                m.set_dense([dst], _linear_kernel(m.src(src + ".weight")),
+                            m.src(src + ".bias"))
+
+            m.unit(one)
+
+    # ---- U-Net decoder (`:104-118,145-160`) ----
+    if "UpDecoder_0" in m.params:
+        ud = ["UpDecoder_0"]
+        for j, src in enumerate(("fc2.0", "fc2.2", "fc2.4")):
+            def one(j=j, src=src):
+                m.set_dense(ud + [f"Dense_{j}"],
+                            _linear_kernel(m.src(src + ".weight")),
+                            m.src(src + ".bias"))
+
+            m.unit(one)
+        m.unit(_vector_attention, m, ud + ["VectorAttention_0"],
+               "transformer2")
+        for j in range(nblocks):
+            tu = ud + [f"TransitionUp_{j}"]
+            m.unit(m.densebn, tu + ["DenseBN_0"],
+                   f"transition_ups.{j}.fc1.0", f"transition_ups.{j}.fc1.2",
+                   True)
+            m.unit(m.densebn, tu + ["DenseBN_1"],
+                   f"transition_ups.{j}.fc2.0", f"transition_ups.{j}.fc2.2",
+                   True)
+            m.unit(_vector_attention, m, ud + [f"VectorAttention_{j + 1}"],
+                   f"transformers.{j}")
+
+    # ---- DefRec head (RegionReconstruction(32+512), `:176`) ----
+    if "DefRec" in m.params and "DefRec.conv1.weight" in sd:
+        m.point_head("DefRec", "DefRec")
+
+    return m.finish(strict)
+
+
+def load_reference_hengshuang(path: str, variables: dict,
+                              nblocks: int = 4) -> dict:
+    return import_hengshuang(load_torch_state_dict(path), variables, nblocks,
+                             strict=False)
+
+
+def strip_pretrain_prefixes(ckpt: dict) -> dict:
+    """The reference's exact pretraining-checkpoint key surgery
+    (`Models.py:447-455`): take ckpt['base_model'], drop 'module.',
+    keep 'transformer_q.*' (except its cls_head) and 'base_model.*'
+    stripped of their prefixes — every OTHER key is deleted (the
+    reference loop dels unconditionally)."""
+    base = {k.replace("module.", ""): v for k, v in ckpt["base_model"].items()}
+    out = {}
+    for k, v in base.items():
+        if k.startswith("transformer_q") and not k.startswith(
+                "transformer_q.cls_head"):
+            out[k[len("transformer_q."):]] = v
+        elif k.startswith("base_model"):
+            out[k[len("base_model."):]] = v
+    return out
+
+
+def load_reference_point_transformer(path: str, variables: dict,
+                                     heads: int = 6) -> dict:
+    """Torch checkpoint file -> flax variables.
+
+    Accepts either a plain `model.pt` state_dict or a Point-BERT-style
+    pretraining checkpoint (`{'base_model': {...}}` with
+    transformer_q/base_model prefixes) — the latter goes through the
+    reference's prefix surgery and loads non-strict, reporting
+    missing/unexpected keys exactly as `load_model_from_ckpt` does."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(ckpt, dict) and "base_model" in ckpt:
+        return import_point_transformer(
+            strip_pretrain_prefixes(ckpt), variables, heads, strict=False)
+    sd = {k.removeprefix("module."): v for k, v in ckpt.items()}
+    return import_point_transformer(sd, variables, heads, strict=False)
+
+
 def load_reference_dgcnn(path: str, variables: dict, pergroup: float = 2.0) -> dict:
     """Convenience: torch checkpoint file -> flax variables."""
     return import_dgcnn(load_torch_state_dict(path), variables, pergroup)

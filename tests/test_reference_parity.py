@@ -219,7 +219,15 @@ def _stub_reference_model_deps():
     """PointDA/Models.py imports CUDA-only deps at module scope; stub them
     (PointNet/DGCNN forward paths never touch them on CPU)."""
     knn_cuda = types.ModuleType("knn_cuda")
-    knn_cuda.KNN = object
+
+    class _FakeKNN:  # instantiable (PointTransformer builds KNN objects
+        def __init__(self, *a, **k):  # at __init__ time), never callable
+            pass
+
+        def __call__(self, *a, **k):
+            raise RuntimeError("KNN_CUDA stub: CPU tests must bypass it")
+
+    knn_cuda.KNN = _FakeKNN
     sys.modules.setdefault("knn_cuda", knn_cuda)
     p2o = types.ModuleType("pointnet2_ops")
     p2o.pointnet2_utils = types.ModuleType("pointnet2_ops.pointnet2_utils")
@@ -344,6 +352,99 @@ class TestForwardEquivalence:
             want["density_mse"].numpy(), rtol=1e-4, atol=1e-4)
 
 
+class TestPointTransformerImport:
+    """Reference `PointTransformer` checkpoint -> our model: full
+    cls-path forward equivalence through `import_point_transformer`
+    (`Models.py:370-531`; the CUDA grouping is bypassed identically on
+    both sides — FPS/kNN parity is covered elsewhere)."""
+
+    B, N, G, M, D, E, HEADS, DEPTH = 2, 128, 16, 8, 96, 64, 4, 4
+
+    def _config(self):
+        return SimpleNamespace(
+            trans_dim=self.D, depth=self.DEPTH, drop_path_rate=0.0,
+            cls_dim=10, num_heads=self.HEADS, group_size=self.M,
+            num_group=self.G, encoder_dims=self.E, encoder_type="Encoder",
+            dropout=0.5, model="transformer",
+        )
+
+    def test_forward_matches_reference(self, rng):
+        from mlsp_tpu.models.transformer import (
+            PointTransformer, group_points_knn,
+        )
+        from mlsp_tpu.utils.torch_import import import_point_transformer
+
+        torch.manual_seed(21)
+        ref = refM.PointTransformer(self._config()).eval()
+        x = rng.standard_normal((self.B, self.N, 3)).astype(np.float32)
+
+        # identical grouping on both sides (the torch Group needs
+        # KNN_CUDA; our FPS/kNN parity is tested separately)
+        neigh, centers = group_points_knn(
+            jnp.asarray(x), self.G, self.M,
+            jnp.zeros((self.B,), jnp.int32))
+        class _FixedGroup(torch.nn.Module):
+            def forward(self, pts):
+                return _t(np.asarray(neigh)), _t(np.asarray(centers))
+
+        ref.group_divider = _FixedGroup()
+        with torch.no_grad():
+            want = ref(_t(x), activate_DefRec=False)
+
+        model = PointTransformer(
+            num_classes=10, trans_dim=self.D, depth=self.DEPTH,
+            heads=self.HEADS, num_group=self.G, group_size=self.M,
+            encoder_dims=self.E)
+        v0 = jax.jit(lambda r, xx: model.init({"params": r}, xx,
+                                              train=False))(
+            jax.random.key(0), jnp.zeros((1, self.N, 3), jnp.float32))
+        with pytest.warns(UserWarning, match="not used by the model"):
+            # DefRec pyramid (propagation_*/dgcnn_pro_*) is redesigned
+            # here and intentionally unmapped
+            v = import_point_transformer(ref.state_dict(), v0,
+                                         heads=self.HEADS)
+        got = model.apply(v, jnp.asarray(x), train=False)
+        np.testing.assert_allclose(np.asarray(got["cls"]), want.numpy(),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_pretrain_prefix_surgery(self, tmp_path):
+        """Point-BERT-style checkpoints load through the reference's
+        exact prefix rules (`Models.py:447-455`): transformer_q.* kept
+        (except cls_head), module. stripped, everything else dropped."""
+        from mlsp_tpu.models.transformer import PointTransformer
+        from mlsp_tpu.utils.torch_import import (
+            load_reference_point_transformer,
+        )
+
+        torch.manual_seed(22)
+        ref = refM.PointTransformer(self._config())
+        sd = ref.state_dict()
+        wrapped = {"base_model": {}}
+        for k, v_ in sd.items():
+            wrapped["base_model"]["module.transformer_q." + k] = v_
+        # a cls_head under transformer_q must be DROPPED by the surgery
+        wrapped["base_model"]["transformer_q.cls_head.weight"] = (
+            torch.zeros(2, 2))
+        path = str(tmp_path / "pretrain.pth")
+        torch.save(wrapped, path)
+
+        model = PointTransformer(
+            num_classes=10, trans_dim=self.D, depth=self.DEPTH,
+            heads=self.HEADS, num_group=self.G, group_size=self.M,
+            encoder_dims=self.E)
+        v0 = jax.jit(lambda r, xx: model.init({"params": r}, xx,
+                                              train=False))(
+            jax.random.key(0), jnp.zeros((1, self.N, 3), jnp.float32))
+        with pytest.warns(UserWarning):
+            v = load_reference_point_transformer(path, v0, heads=self.HEADS)
+        # backbone transferred...
+        np.testing.assert_allclose(
+            np.asarray(v["params"]["reduce_dim"]["kernel"]),
+            sd["reduce_dim.weight"].numpy().T)
+        np.testing.assert_allclose(
+            np.asarray(v["params"]["cls_token"]), sd["cls_token"].numpy())
+
+
 class TestHengshuangBlock:
     """`VectorAttention` vs the reference's own `TransformerBlock`
     (`hengshuang_transformer/transformer.py:7-44`, pure torch) with
@@ -394,6 +495,93 @@ class TestHengshuangBlock:
         got = m.apply({"params": params}, jnp.asarray(xyz),
                       jnp.asarray(feats), False)
         np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                                   rtol=1e-4, atol=1e-4)
+
+
+class TestHengshuangImport:
+    """Reference hengshuang checkpoints -> our models: full forward
+    equivalence through `import_hengshuang` (Def variant cls+DefRec,
+    Seg variant), with the reference's random-start FPS pinned to the
+    same start-0 convention our `ops.fps` uses."""
+
+    B, N, NB, K, DM = 2, 256, 4, 8, 64
+
+    def _cfg(self):
+        cfg = SimpleNamespace(
+            num_point=self.N, nblocks=self.NB, nneighbor=self.K,
+            num_class=10, input_dim=3, transformer_dim=self.DM, dropout=0.5)
+        cfg.model = cfg  # Seg reads cfg.model.nblocks, Backbone cfg.nblocks
+        return cfg
+
+    @staticmethod
+    def _pin_fps(monkeypatch):
+        import PointDA.hengshuang_transformer.pointnet_util as pu
+
+        def fps0(xyz, npoint):
+            device = xyz.device
+            B, N, C = xyz.shape
+            centroids = torch.zeros(B, npoint, dtype=torch.long).to(device)
+            distance = torch.ones(B, N).to(device) * 1e10
+            farthest = torch.zeros(B, dtype=torch.long).to(device)  # start 0
+            batch_indices = torch.arange(B, dtype=torch.long)
+            for i in range(npoint):
+                centroids[:, i] = farthest
+                centroid = xyz[batch_indices, farthest, :].view(B, 1, 3)
+                dist = torch.sum((xyz - centroid) ** 2, -1)
+                distance = torch.min(distance, dist)
+                farthest = torch.max(distance, -1)[1]
+            return centroids
+
+        monkeypatch.setattr(pu, "farthest_point_sample", fps0)
+
+    def test_def_variant_forward(self, rng, monkeypatch):
+        ref_hm = pytest.importorskip(
+            "PointDA.hengshuang_transformer.hengshuang_model")
+        from mlsp_tpu.models.hengshuang import HengshuangTransformer
+        from mlsp_tpu.utils.torch_import import import_hengshuang
+
+        self._pin_fps(monkeypatch)
+        torch.manual_seed(31)
+        ref = ref_hm.PointTransformerDef(self._cfg()).eval()
+        x = rng.standard_normal((self.B, self.N, 3)).astype(np.float32)
+        with torch.no_grad():
+            want_cls = ref(_t(x), activate_DefRec=False)
+            want_def = ref(_t(x), activate_DefRec=True)
+
+        model = HengshuangTransformer(
+            num_classes=10, nblocks=self.NB, nneighbor=self.K,
+            d_model=self.DM)
+        v0 = jax.jit(lambda r, xx: model.init(
+            {"params": r}, xx, train=False, heads=("defrec",)))(
+            jax.random.key(0), jnp.zeros((1, self.N, 3), jnp.float32))
+        v = import_hengshuang(ref.state_dict(), v0, nblocks=self.NB)
+        got = model.apply(v, jnp.asarray(x), train=False, heads=("defrec",))
+        np.testing.assert_allclose(np.asarray(got["cls"]),
+                                   want_cls.numpy(), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got["defrec"]),
+                                   want_def.numpy(), rtol=1e-4, atol=2e-4)
+
+    def test_seg_variant_forward(self, rng, monkeypatch):
+        ref_hm = pytest.importorskip(
+            "PointDA.hengshuang_transformer.hengshuang_model")
+        from mlsp_tpu.models.hengshuang import HengshuangSeg
+        from mlsp_tpu.utils.torch_import import import_hengshuang
+
+        self._pin_fps(monkeypatch)
+        torch.manual_seed(32)
+        ref = ref_hm.PointTransformerSeg(self._cfg()).eval()
+        x = rng.standard_normal((self.B, self.N, 3)).astype(np.float32)
+        with torch.no_grad():
+            want = ref(_t(x))
+
+        model = HengshuangSeg(num_classes=10, nblocks=self.NB,
+                              nneighbor=self.K, d_model=self.DM)
+        v0 = jax.jit(lambda r, xx: model.init(
+            {"params": r}, xx, train=False, heads=("seg",)))(
+            jax.random.key(0), jnp.zeros((1, self.N, 3), jnp.float32))
+        v = import_hengshuang(ref.state_dict(), v0, nblocks=self.NB)
+        got = model.apply(v, jnp.asarray(x), train=False, heads=("seg",))
+        np.testing.assert_allclose(np.asarray(got["seg"]), want.numpy(),
                                    rtol=1e-4, atol=1e-4)
 
 
