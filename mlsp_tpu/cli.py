@@ -132,9 +132,9 @@ def main(argv=None) -> int:
     import os
 
     if os.environ.get("MLSP_MULTIHOST"):
-        import jax
+        from mlsp_tpu.parallel import init_distributed
 
-        jax.distributed.initialize()
+        init_distributed()  # fail-fast heartbeat (dead peer -> abort)
 
     def _mesh_from_args():
         if not (args.mesh_data or args.mesh_points > 1):

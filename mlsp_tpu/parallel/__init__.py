@@ -1,4 +1,5 @@
 from mlsp_tpu.parallel.mesh import (
+    init_distributed,
     make_mesh,
     shard_batch,
     shard_scan_batch,

@@ -24,6 +24,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None,
+                     heartbeat_timeout_seconds: int = 30, **kw) -> None:
+    """Fail-fast multi-host bring-up.
+
+    `jax.distributed.initialize` with the coordination-service heartbeat
+    tightened from jax's 100 s default: when a peer process dies
+    mid-run, the survivors ABORT with a clean error within
+    ~`heartbeat_timeout_seconds` instead of hanging in the next
+    collective (SURVEY §5: the reference has no failure detection at
+    all; exercised by `tests/test_multihost.py::test_dead_peer_fails_fast`).
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address, num_processes=num_processes,
+        process_id=process_id,
+        heartbeat_timeout_seconds=heartbeat_timeout_seconds, **kw)
+
+
 def make_mesh(devices=None, data: int | None = None, points: int = 1) -> Mesh:
     """Build a (data[, points]) mesh over the given / all devices."""
     devices = list(devices if devices is not None else jax.devices())

@@ -79,7 +79,6 @@ def train_pointda(cfg: PointDAConfig, io: IOStream | None = None, mesh=None):
     cfg = cfg.resolved()
     io = io or IOStream(cfg.out_path, cfg.exp_name)
     io.cprint(str(cfg))
-    rng = np.random.default_rng(cfg.seed)
     key = jax.random.key(cfg.seed)
 
     src_train = load_pointda(cfg.src_dataset, cfg.dataroot, "train",
@@ -133,12 +132,18 @@ def train_pointda(cfg: PointDAConfig, io: IOStream | None = None, mesh=None):
 
     for epoch in range(start_epoch, cfg.epochs):
         meters = MeterDict()
+        # Per-EPOCH streams derived from (seed, epoch), not consumed
+        # sequentially across epochs: a `--resume` at epoch E then
+        # reproduces the uninterrupted run's epoch-E shuffles and PRNG
+        # keys exactly (preemption drill in tests/test_train_e2e.py).
+        erng = np.random.default_rng(np.random.SeedSequence((cfg.seed, epoch)))
+        ekey = jax.random.fold_in(key, epoch)
         src_iter = batches(src_train.data, src_train.label, cfg.batch_size,
                            indices=src_train.train_ind, shuffle=True,
-                           drop_last=True, rng=rng)
+                           drop_last=True, rng=erng)
         trgt_iter = batches(trgt_train.data, trgt_train.label, cfg.batch_size,
                             indices=trgt_train.train_ind, shuffle=True,
-                            drop_last=True, rng=rng)
+                            drop_last=True, rng=erng)
         if cfg.scan_steps > 1:
             # Stage chunks of the epoch and run them as single device
             # programs (lax.scan) — amortises per-dispatch overhead.
@@ -155,7 +160,7 @@ def train_pointda(cfg: PointDAConfig, io: IOStream | None = None, mesh=None):
                     shard_scan_batch(mesh, batch) if mesh is not None
                     else jax.tree_util.tree_map(jnp.asarray, batch)
                 )
-                key, k = jax.random.split(key)
+                ekey, k = jax.random.split(ekey)
                 with points_sharding(mesh):
                     state, ms = steps.pointda_train_scan(
                         state, sxs, sys_, txs, k, cfg
@@ -167,7 +172,7 @@ def train_pointda(cfg: PointDAConfig, io: IOStream | None = None, mesh=None):
                     shard_batch(mesh, batch) if mesh is not None
                     else jax.tree_util.tree_map(jnp.asarray, batch)
                 )
-                key, k = jax.random.split(key)
+                ekey, k = jax.random.split(ekey)
                 with points_sharding(mesh):
                     state, m = steps.pointda_train_step(state, sx, sy, tx, k, cfg)
                 meters.update(jax.device_get(m), n=batch[0].shape[0])
@@ -179,7 +184,7 @@ def train_pointda(cfg: PointDAConfig, io: IOStream | None = None, mesh=None):
                     shard_batch(mesh, batch) if mesh is not None
                     else jax.tree_util.tree_map(jnp.asarray, batch)
                 )
-                key, k = jax.random.split(key)
+                ekey, k = jax.random.split(ekey)
                 with points_sharding(mesh):
                     state, m = steps.pointda_train_step(state, sx, sy, tx, k, cfg)
                 meters.update(jax.device_get(m), n=n)

@@ -72,7 +72,7 @@ def train_pointsegda(cfg: PointSegDAConfig, io: IOStream | None = None,
     cfg = cfg.resolved()
     io = io or IOStream(cfg.out_path, f"{cfg.exp_name}_{cfg.src_dataset}_{cfg.trgt_dataset}")
     io.cprint(str(cfg))
-    rng = np.random.default_rng(cfg.seed)
+
     key = jax.random.key(cfg.seed)
 
     load = lambda name, part: load_pointsegda(name, cfg.dataroot, part,
@@ -102,6 +102,7 @@ def train_pointsegda(cfg: PointSegDAConfig, io: IOStream | None = None,
     N = src_train.data.shape[1]
     sample = jnp.zeros((bsz, N, 3), jnp.float32)
     key, ik = jax.random.split(key)
+    base_key = key
     state = create_train_state(
         model, ik, sample, optimizer=cfg.optimizer, lr=cfg.lr, wd=cfg.wd,
         momentum=cfg.momentum, epochs=cfg.epochs, steps_per_epoch=steps_per_epoch,
@@ -119,6 +120,9 @@ def train_pointsegda(cfg: PointSegDAConfig, io: IOStream | None = None,
 
     io.trim_metrics(0)  # fresh run: truncate any prior metrics.jsonl
     for epoch in range(cfg.epochs):
+        # per-epoch streams (cf. pointda_trainer: resume-exact semantics)
+        rng = np.random.default_rng(np.random.SeedSequence((cfg.seed, epoch)))
+        key = jax.random.fold_in(base_key, epoch)
         meters = MeterDict()
         src_iter = batches(src_train.data, src_train.label, bsz,
                            shuffle=True, drop_last=True, rng=rng)

@@ -56,34 +56,159 @@ print(f"proc{proc_id} OK", flush=True)
 """
 
 
-@pytest.mark.slow
-def test_two_process_ddp(tmp_path):
+def _free_port():
     port = socket.socket()
     port.bind(("localhost", 0))
     coord = f"localhost:{port.getsockname()[1]}"
     port.close()
+    return coord
 
+
+def _env(local_devices: int):
     env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={local_devices}")
     env.pop("JAX_PLATFORMS", None)
     env["PYTHONPATH"] = (
         os.path.dirname(os.path.dirname(__file__))
         + os.pathsep + env.get("PYTHONPATH", "")
     )
+    return env
+
+
+def _run_workers(script_text, tmp_path, n_procs, local_devices, coord=None,
+                 timeout=300):
+    coord = coord or _free_port()
     script = tmp_path / "worker.py"
-    script.write_text(_WORKER)
+    script.write_text(script_text)
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(i), coord],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True,
+            [sys.executable, str(script), str(i), coord, str(n_procs)],
+            env=_env(local_devices), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
         )
-        for i in range(2)
+        for i in range(n_procs)
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=300)
+        out, _ = p.communicate(timeout=timeout)
         outs.append(out)
+    return procs, outs
+
+
+@pytest.mark.slow
+def test_two_process_ddp(tmp_path):
+    procs, outs = _run_workers(_WORKER, tmp_path, 2, 2)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc{i} failed:\n{out}"
         assert f"proc{i} OK" in out, out
+
+
+_WORKER_N = r"""
+import os, sys
+import jax
+
+proc_id = int(sys.argv[1]); coord = sys.argv[2]; nprocs = int(sys.argv[3])
+jax.config.update("jax_platforms", "cpu")
+from mlsp_tpu.parallel import init_distributed
+init_distributed(coordinator_address=coord, num_processes=nprocs,
+                 process_id=proc_id)
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mlsp_tpu.parallel import make_mesh
+
+assert jax.process_count() == nprocs, jax.process_count()
+ndev = len(jax.devices())
+assert ndev == 2 * nprocs  # 2 local devices per process
+mesh = make_mesh(jax.devices(), data=ndev, points=1)
+
+B, D = 4 * ndev, 16
+rng = np.random.default_rng(0)
+x = rng.standard_normal((B, D)).astype(np.float32)
+w = rng.standard_normal((D,)).astype(np.float32)
+
+shard = B // nprocs
+xs = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("data")),
+    x[proc_id * shard : (proc_id + 1) * shard], x.shape)
+ws = jax.device_put(w, NamedSharding(mesh, P()))
+
+@jax.jit
+def gradstep(w, x):
+    return jax.grad(lambda w: jnp.mean(jnp.tanh(x @ w) ** 2))(w)
+
+g = np.asarray(gradstep(ws, xs))
+want = np.asarray(jax.jit(jax.grad(
+    lambda w: jnp.mean(jnp.tanh(jnp.asarray(x) @ w) ** 2)))(jnp.asarray(w)))
+np.testing.assert_allclose(g, want, rtol=1e-5, atol=1e-6)
+print(f"proc{proc_id} OK", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_four_process_ddp(tmp_path):
+    """4 OS processes x 2 virtual devices = an 8-device cluster; the
+    cross-process gradient all-reduce must equal the single-process
+    result on every rank."""
+    procs, outs = _run_workers(_WORKER_N, tmp_path, 4, 2, timeout=420)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{i} failed:\n{out}"
+        assert f"proc{i} OK" in out, out
+
+
+_WORKER_DIE = r"""
+import os, sys, time
+import jax
+
+proc_id = int(sys.argv[1]); coord = sys.argv[2]; nprocs = int(sys.argv[3])
+jax.config.update("jax_platforms", "cpu")
+from mlsp_tpu.parallel import init_distributed
+init_distributed(coordinator_address=coord, num_processes=nprocs,
+                 process_id=proc_id, heartbeat_timeout_seconds=10)
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from mlsp_tpu.parallel import make_mesh
+
+mesh = make_mesh(jax.devices(), data=len(jax.devices()), points=1)
+x = np.arange(len(jax.devices()) * 4, dtype=np.float32)
+shard = x.size // nprocs
+xs = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("data")),
+    x[proc_id * shard : (proc_id + 1) * shard], x.shape)
+total = jax.jit(jnp.sum)(xs)  # cross-process reduce: cluster is live
+print(f"proc{proc_id} warm {float(total)}", flush=True)
+
+if proc_id == 1:
+    os._exit(3)  # simulated crash/preemption, no goodbye to the cluster
+
+# Survivor: keep working; the coordination-service heartbeat must turn
+# the dead peer into a CLEAN ABORT here (nonzero exit), not a hang.
+try:
+    for i in range(120):
+        time.sleep(1)
+        float(jax.jit(jnp.sum)(xs + i))
+    print("survivor still alive after 120s", flush=True)
+    sys.exit(0)  # peer death never surfaced -> the TEST will fail
+except Exception as e:
+    print(f"survivor got error: {type(e).__name__}", flush=True)
+    sys.exit(7)
+"""
+
+
+@pytest.mark.slow
+def test_dead_peer_fails_fast(tmp_path):
+    """Kill one rank mid-run: the survivor must surface a clean error
+    within the (tightened) heartbeat window — not hang. The reference
+    has no failure detection at all (SURVEY §5)."""
+    procs, outs = _run_workers(_WORKER_DIE, tmp_path, 2, 1, timeout=180)
+    p0, p1 = procs
+    assert p1.returncode == 3, f"rank1 should have died:\n{outs[1]}"
+    assert "warm" in outs[0], outs[0]
+    # the survivor must NOT report a clean 120 s survival, and must exit
+    # nonzero (either our handler's 7 or the runtime's own abort)
+    assert "still alive" not in outs[0], (
+        f"survivor hung past the heartbeat window:\n{outs[0]}")
+    assert p0.returncode != 0, f"survivor exited 0:\n{outs[0]}"

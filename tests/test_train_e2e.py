@@ -1,6 +1,7 @@
 """End-to-end training smoke tests on synthetic data (CPU, tiny shapes)."""
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -178,6 +179,108 @@ class TestTrainerLoop:
         assert rec["epoch"] == 1
         assert {"train", "src_val", "trgt_val"} <= set(rec)
         assert isinstance(rec["src_val"]["acc"], float)
+
+
+_PREEMPT_DRIVER = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+from mlsp_tpu.utils.cache import enable
+enable()
+from mlsp_tpu.parallel import make_mesh
+from mlsp_tpu.train import train_pointda
+from mlsp_tpu.utils.config import PointDAConfig
+
+out, name, resume = sys.argv[1], sys.argv[2], sys.argv[3]
+cfg = PointDAConfig(
+    synthetic=True, epochs=3, batch_size=8, num_points=64,
+    out_path=out, exp_name=name, model="pointnet", apply_PCM=False,
+    test_batch_size=8, save_every=1, scan_steps=4,
+    resume="" if resume == "-" else resume,
+)
+train_pointda(cfg, mesh=make_mesh(data=2))
+print("DONE", flush=True)
+"""
+
+
+class TestPreemptionDrill:
+    """SIGKILL a mesh trainer mid-epoch, `--resume` from the periodic
+    checkpoint, and the trajectory must MATCH an uninterrupted run —
+    possible because each epoch's shuffle/PRNG streams derive from
+    (seed, epoch), not from sequential consumption (SURVEY §5: the
+    reference has neither periodic checkpoints nor resume)."""
+
+    @pytest.mark.slow
+    def test_kill_resume_matches_uninterrupted(self, tmp_path):
+        import subprocess
+        import sys as _sys
+        import time
+
+        from flax import serialization
+
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        env.pop("JAX_PLATFORMS", None)
+        env["PYTHONPATH"] = (
+            os.path.dirname(os.path.dirname(__file__))
+            + os.pathsep + env.get("PYTHONPATH", ""))
+        driver = tmp_path / "driver.py"
+        driver.write_text(_PREEMPT_DRIVER)
+
+        def run(name, resume="-"):
+            return subprocess.run(
+                [_sys.executable, str(driver), str(tmp_path), name, resume],
+                env=env, capture_output=True, text=True, timeout=900)
+
+        # (a) uninterrupted 3-epoch run under a data=2 mesh
+        ra = run("full")
+        assert ra.returncode == 0 and "DONE" in ra.stdout, ra.stdout + ra.stderr
+
+        # (b) same run, SIGKILLed mid-training after epoch 0 completes
+        pb = subprocess.Popen(
+            [_sys.executable, str(driver), str(tmp_path), "pre", "-"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        metrics = tmp_path / "pre" / "metrics.jsonl"
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            if metrics.exists() and len(metrics.read_text().splitlines()) >= 1:
+                break
+            if pb.poll() is not None:
+                raise AssertionError("trainer exited early:\n" +
+                                     pb.communicate()[0])
+            time.sleep(1.0)
+        else:
+            raise AssertionError("epoch 0 never completed")
+        time.sleep(2.0)  # land INSIDE a later epoch
+        pb.kill()
+        pb.communicate()
+        last = tmp_path / "pre" / "last.ckpt"
+        assert last.exists(), "periodic checkpoint missing after kill"
+
+        # (c) resume from the periodic checkpoint to completion
+        rc = run("pre", str(last))
+        assert rc.returncode == 0 and "DONE" in rc.stdout, rc.stdout + rc.stderr
+        assert "resumed from" in (tmp_path / "pre" / "run.log").read_text()
+
+        # identical final state: params + batch stats + optimizer
+        def load(name):
+            return serialization.msgpack_restore(
+                (tmp_path / name / "last.ckpt").read_bytes())
+
+        a, c = load("full"), load("pre")
+        assert a["epoch"] == c["epoch"] == 2
+        jax.tree_util.tree_map(
+            lambda x, y: np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-7),
+            {"params": a["params"], "batch_stats": a["batch_stats"],
+             "opt_state": a["opt_state"]},
+            {"params": c["params"], "batch_stats": c["batch_stats"],
+             "opt_state": c["opt_state"]})
+        # and the per-epoch metric records line up
+        la = (tmp_path / "full" / "metrics.jsonl").read_text().splitlines()
+        lc = (tmp_path / "pre" / "metrics.jsonl").read_text().splitlines()
+        assert len(la) == len(lc) == 3
 
 
 class TestSPL:
