@@ -4,9 +4,11 @@ with a measured roofline account of where the time goes.
 Workload (BASELINE.md): DGCNN k=20, 1024 points, batch 32, the full
 paper recipe — PCM mixup (on-device FPS), DefRec deformation, on-device
 normal + cardinality ground-truth generation, all SSL heads, one
-optimizer update per iteration. Default compute dtype is f32 (full bf16
-measurably degrades DGCNN convergence — CLAUDE.md); set MLSP_BENCH_HEAD_BF16=1
-to run the per-point heads in bf16 (no kNN-graph dependency there).
+optimizer update per iteration. The backbone computes in f32 (full bf16
+measurably degrades DGCNN convergence — CLAUDE.md) and the per-point
+heads in bf16 — the production default since the round-3 multi-seed A/B
+(3 seeds x 30 epochs) showed head-bf16 matches f32 convergence at ~35%
+higher throughput. Set MLSP_BENCH_HEAD_F32=1 to bench full-f32.
 
 Measurement protocol: S train steps are executed as ONE device program
 (`lax.scan`) and timed with a forced value fetch at the end. Through the
@@ -165,7 +167,7 @@ def main() -> None:
         Density_normal_viainput=True, Normal_ondef=True, Density_ondef=True,
         radius=0.135,
     )
-    head_bf16 = os.environ.get("MLSP_BENCH_HEAD_BF16", "") == "1"
+    head_bf16 = os.environ.get("MLSP_BENCH_HEAD_F32", "") != "1"
     model = DGCNN(
         num_classes=10, k=20, knn_backend="auto",
         head_dtype=jnp.bfloat16 if head_bf16 else None,

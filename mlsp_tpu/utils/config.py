@@ -82,8 +82,14 @@ class PointDAConfig:
     # the per-point heads carry most of the step's FLOPs and have no
     # kNN-graph dependency, and gather_dtype rounds only the gathered
     # neighbour bytes while the graph itself stays f32 — both dodge the
-    # full-bf16 convergence failure mode.
-    head_dtype: str = ""
+    # full-bf16 convergence failure mode. head_dtype defaults to bf16:
+    # the round-3 multi-seed A/B (3 seeds x 30 epochs,
+    # scripts/ab_mixed_precision.py) shows it matches f32 convergence
+    # (src val 0.9948 both; trgt 0.9625+-0.053 vs 0.9375+-0.027) at
+    # ~35%% higher step throughput; the round-2 single-seed 11-epoch
+    # deficit was a short-horizon artifact. Set head_dtype="f32" to
+    # force full-f32 heads.
+    head_dtype: str = "bf16"
     gather_dtype: str = ""
     scan_steps: int = 16  # train steps fused per device dispatch (1 = off)
     debug_aux: bool = False  # train step also returns its internal
@@ -152,7 +158,7 @@ class SPSTConfig:
     pergroup: float = 2.0
     knn_backend: str = "auto"
     compute_dtype: str = "f32"
-    head_dtype: str = ""  # see PointDAConfig
+    head_dtype: str = "bf16"  # see PointDAConfig
     gather_dtype: str = ""
     scan_steps: int = 8  # train steps fused per device dispatch (1 = off)
     synthetic: bool = False
