@@ -7,8 +7,10 @@ normal + cardinality ground-truth generation, all SSL heads, one
 optimizer update per iteration. The backbone computes in f32 (full bf16
 measurably degrades DGCNN convergence — CLAUDE.md) and the per-point
 heads in bf16 — the production default since the round-3 multi-seed A/B
-(3 seeds x 30 epochs) showed head-bf16 matches f32 convergence at ~35%
-higher throughput. Set MLSP_BENCH_HEAD_F32=1 to bench full-f32.
+(3 seeds x 30 epochs) showed head-bf16 matches f32 convergence (perf-
+neutral on THIS chip — f32 matmul runs at bf16 rate and SplitDense
+already removed the head traffic — but cheaper on full-rate silicon).
+Set MLSP_BENCH_HEAD_F32=1 to bench full-f32.
 
 Measurement protocol: S train steps are executed as ONE device program
 (`lax.scan`) and timed with a forced value fetch at the end. Through the

@@ -85,10 +85,12 @@ class PointDAConfig:
     # full-bf16 convergence failure mode. head_dtype defaults to bf16:
     # the round-3 multi-seed A/B (3 seeds x 30 epochs,
     # scripts/ab_mixed_precision.py) shows it matches f32 convergence
-    # (src val 0.9948 both; trgt 0.9625+-0.053 vs 0.9375+-0.027) at
-    # ~35%% higher step throughput; the round-2 single-seed 11-epoch
-    # deficit was a short-horizon artifact. Set head_dtype="f32" to
-    # force full-f32 heads.
+    # (src val 0.9948 both; trgt 0.9625+-0.053 vs 0.9375+-0.027); the
+    # round-2 single-seed 11-epoch deficit was a short-horizon artifact.
+    # On THIS chip the flip is perf-neutral (f32 matmul = bf16 rate and
+    # SplitDense already removed the head traffic); on full-rate silicon
+    # bf16 heads halve head matmul/memory cost. head_dtype="f32"
+    # restores full-f32 heads.
     head_dtype: str = "bf16"
     gather_dtype: str = ""
     scan_steps: int = 16  # train steps fused per device dispatch (1 = off)

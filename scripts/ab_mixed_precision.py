@@ -26,7 +26,9 @@ import time
 from mlsp_tpu.utils.cache import enable as enable_cache
 
 VARIANTS = {
-    "f32": {},
+    # explicit: the config DEFAULT is now head_dtype="bf16", so the f32
+    # arm must force full-f32 heads to stay a real baseline
+    "f32": {"head_dtype": "f32"},
     "head_bf16": {"head_dtype": "bf16"},
     "gather_bf16": {"gather_dtype": "bf16"},
     "head+gather_bf16": {"head_dtype": "bf16", "gather_dtype": "bf16"},

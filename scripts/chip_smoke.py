@@ -33,6 +33,7 @@ FAMILIES = {
 
 def smoke(name):
     kw, heads, N, is_seg = FAMILIES[name]
+    kw = dict(kw)  # FAMILIES is shared; don't pop from the module dict
     B = 8
     model = make_model(name, kw.pop("num_classes", 10), **kw)
     rng = np.random.default_rng(0)
