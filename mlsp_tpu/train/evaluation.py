@@ -197,15 +197,25 @@ def run_export(cfg: EvalConfig, io: IOStream | None = None) -> dict:
         "dgcnn": lambda v: torch_export.export_dgcnn(v, cfg.pergroup),
         "pointnet": torch_export.export_pointnet,
         "dgcnn_seg": lambda v: torch_export.export_dgcnn_seg(v, cfg.pergroup),
+        # backbone + cls head only (the reference DefRec pyramid is CUDA
+        # code our redesign replaced): torch must load strict=False, like
+        # the reference's own load_model_from_ckpt (Models.py:458)
+        "point_transformer": torch_export.export_point_transformer,
+        "transformer": torch_export.export_point_transformer,
+        "hengshuang": torch_export.export_hengshuang,
+        "hengshuang_transformer": torch_export.export_hengshuang,
+        "hengshuang_seg": torch_export.export_hengshuang,
     }
     if cfg.model not in exporters:
         raise ValueError(
-            f"export supports dgcnn/pointnet/dgcnn_seg, not {cfg.model!r}")
-    if (cfg.model == "dgcnn_seg") != (cfg.task == "pointsegda"):
+            "export supports dgcnn/pointnet/dgcnn_seg/point_transformer/"
+            f"hengshuang/hengshuang_seg, not {cfg.model!r}")
+    seg_models = {"dgcnn_seg", "hengshuang_seg"}
+    if (cfg.model in seg_models) != (cfg.task == "pointsegda"):
         raise ValueError(
             f"model {cfg.model!r} does not belong to task {cfg.task!r}: "
-            "dgcnn_seg requires --task pointsegda; dgcnn/pointnet require "
-            "--task pointda")
+            "seg backbones require --task pointsegda; classification "
+            "backbones require --task pointda")
 
     key = jax.random.key(cfg.seed)
     sample = jnp.zeros((1, cfg.num_points, 3), jnp.float32)

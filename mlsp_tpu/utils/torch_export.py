@@ -288,6 +288,182 @@ def export_pointnet(variables: dict, strict: bool = True) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# PointDA PointTransformer (`PointDA/Models.py:370-531`)
+# ---------------------------------------------------------------------------
+
+
+def _group_encoder(e: _Exporter, dst: str, src: str) -> None:
+    """GroupEncoder -> reference `Encoder` (`model_utils.py:292-336`);
+    the sum-of-Dense pairs reassemble into the concat convs, cat order
+    [global(256) | h(256)]."""
+    e.unit(e.densebn, f"{dst}.first_conv.0", f"{dst}.first_conv.1",
+           [src, "DenseBN_0"])
+    e.unit(e.conv, f"{dst}.first_conv.3", [src, "Dense_0"])
+    for stage, bn, d_g, d_h, d_out in (
+        ("add_conv1", "BatchNorm_0", "Dense_1", "Dense_2", "Dense_3"),
+        ("second_conv", "BatchNorm_1", "Dense_4", "Dense_5", "Dense_6"),
+    ):
+        def one(stage=stage, bn=bn, d_g=d_g, d_h=d_h, d_out=d_out):
+            g = _f32(e.node([src, d_g])["kernel"]).T   # [512, 256]
+            h = _f32(e.node([src, d_h])["kernel"]).T   # [512, 256]
+            w = np.concatenate([g, h], axis=1)         # [512, 512]
+            e.put(f"{dst}.{stage}.0.weight", w.reshape(w.shape + (1,)))
+            e.put(f"{dst}.{stage}.0.bias", e.node([src, d_g])["bias"])
+            e.bn(f"{dst}.{stage}.1", [src, bn])
+            e.conv(f"{dst}.{stage}.3", [src, d_out])
+
+        e.unit(one)
+
+
+def export_point_transformer(variables: dict, heads: int = 6,
+                             strict: bool = False) -> dict:
+    """flax `PointTransformer` -> reference state_dict (BACKBONE + cls
+    head). The reference's DefRec branch is a CUDA propagation pyramid
+    (`Models.py:489-531`, pointnet2_ops + KNN_CUDA) that our redesigned
+    3-NN propagation deliberately replaced — those modules are NOT
+    representable, so the torch side must `load_state_dict(strict=False)`
+    (exactly how the reference itself loads pretrained transformers,
+    `Models.py:458`). flax per-head q/k/v fuse back into the qkv weight;
+    the reference's qkv is bias-free (`model_utils.py:227`), so nonzero
+    flax qkv biases (possible after native training) are dropped with a
+    warning.
+    """
+    e = _Exporter(variables, "PointTransformer")
+
+    _group_encoder(e, "encoder", "GroupEncoder_0")
+    e.unit(e.linear, "reduce_dim", ["reduce_dim"])
+    e.unit(lambda: e.put("cls_token", e.node(["cls_token"])))
+    e.unit(lambda: e.put("cls_pos", e.node(["cls_pos"])))
+    e.unit(e.linear, "pos_embed.0", ["pos_embed_0"])
+    e.unit(e.linear, "pos_embed.2", ["pos_embed_1"])
+
+    def ln(dst, src_path):
+        p = e.node(src_path)
+        e.put(dst + ".weight", p["scale"])
+        e.put(dst + ".bias", p["bias"])
+
+    depth = sum(1 for k in e.params if k.startswith("block"))
+    for i in range(depth):
+        src = f"block{i}"
+        dst = f"blocks.blocks.{i}"
+
+        def block(src=src, dst=dst):
+            ln(f"{dst}.norm1", [src, "LayerNorm_0"])
+            ln(f"{dst}.norm2", [src, "LayerNorm_1"])
+            mha = e.node([src, "MultiHeadDotProductAttention_0"])
+            ws, bs = [], []
+            for nm in ("query", "key", "value"):
+                k_ = _f32(mha[nm]["kernel"])           # [D, H, Dh]
+                D = k_.shape[0]
+                ws.append(k_.reshape(D, D).T)          # [D, D] torch layout
+                bs.append(_f32(mha[nm]["bias"]).reshape(-1))
+            e.put(f"{dst}.attn.qkv.weight", np.concatenate(ws, axis=0))
+            bmax = max(float(np.abs(b).max()) for b in bs)
+            if bmax > 1e-6:
+                warnings.warn(
+                    f"{e.model_name}.{dst}: flax qkv biases (max {bmax:.2e}) "
+                    "dropped — the reference qkv is bias-free", stacklevel=4)
+            out = mha["out"]
+            ko = _f32(out["kernel"])                   # [H, Dh, D]
+            D = ko.shape[-1]
+            e.put(f"{dst}.attn.proj.weight", ko.reshape(D, D).T)
+            e.put(f"{dst}.attn.proj.bias", out["bias"])
+            e.linear(f"{dst}.mlp.fc1", [src, "Dense_0"])
+            e.linear(f"{dst}.mlp.fc2", [src, "Dense_1"])
+
+        e.unit(block)
+
+    e.unit(ln, "norm", ["norm"])
+    e.unit(e.linear, "cls_head_finetune.0", ["cls_head_0"])
+    e.unit(e.linear, "cls_head_finetune.3", ["cls_head_1"])
+
+    return e.finish(strict)
+
+
+# ---------------------------------------------------------------------------
+# Hengshuang family (`hengshuang_transformer/hengshuang_model.py:1-211`)
+# ---------------------------------------------------------------------------
+
+
+def _vector_attention_out(e: _Exporter, dst: str, src_path) -> None:
+    """VectorAttention -> reference `TransformerBlock`
+    (`transformer.py:7-44`); inverse of the importer's Dense ordering."""
+    e.linear(f"{dst}.fc1", src_path + ["Dense_0"])
+    for j, nm in enumerate(("w_qs", "w_ks", "w_vs")):
+        e.linear(f"{dst}.{nm}", src_path + [f"Dense_{j + 1}"])
+    e.linear(f"{dst}.fc_delta.2", src_path + ["Dense_4"])
+    e.linear(f"{dst}.fc_delta.0", src_path + ["Dense_5"])
+    e.linear(f"{dst}.fc_gamma.2", src_path + ["Dense_6"])
+    e.linear(f"{dst}.fc_gamma.0", src_path + ["Dense_7"])
+    e.linear(f"{dst}.fc2", src_path + ["Dense_8"])
+
+
+def export_hengshuang(variables: dict, nblocks: int = 4,
+                      strict: bool = True) -> dict:
+    """flax Hengshuang models -> reference state_dicts — FULLY
+    strict-loadable (every reference module has an exact flax
+    counterpart): `HengshuangTransformer` -> `PointTransformerDef`
+    (`hengshuang_model.py:140-206`: backbone + fc2/transformer2/
+    transition_ups/transformers decoder + cls_head_finetune + DefRec),
+    `HengshuangSeg` -> `PointTransformerSeg` (`:99-139`: same decoder +
+    fc3). The variant is inferred from the flax parameter tree."""
+    e = _Exporter(variables, "Hengshuang")
+
+    bb = "Backbone_0"
+    e.unit(e.linear, "backbone.fc1.2", [bb, "Dense_0"])  # outer Linear
+    e.unit(e.linear, "backbone.fc1.0", [bb, "Dense_1"])  # inner Linear
+    e.unit(_vector_attention_out, e, "backbone.transformer1",
+           [bb, "VectorAttention_0"])
+    for i in range(nblocks):
+        for j in range(2):
+            e.unit(e.densebn,
+                   f"backbone.transition_downs.{i}.sa.mlp_convs.{j}",
+                   f"backbone.transition_downs.{i}.sa.mlp_bns.{j}",
+                   [bb, f"TransitionDown_{i}", f"DenseBN_{j}"], rank=2)
+        e.unit(_vector_attention_out, e, f"backbone.transformers.{i}",
+               [bb, f"VectorAttention_{i + 1}"])
+
+    if "Dense_0" in e.params:  # cls head (Def variant, `:168-174`)
+        e.unit(e.linear, "cls_head_finetune.0", ["Dense_0"])
+        e.unit(e.linear, "cls_head_finetune.2", ["Dense_1"])
+        e.unit(e.linear, "cls_head_finetune.4", ["Dense_2"])
+    if "seg_fc1" in e.params:  # fc3 seg head (`:120-126`)
+        e.unit(e.linear, "fc3.0", ["seg_fc1"])
+        e.unit(e.linear, "fc3.2", ["seg_fc2"])
+        e.unit(e.linear, "fc3.4", ["seg_out"])
+
+    if "UpDecoder_0" in e.params:
+        ud = "UpDecoder_0"
+        e.unit(e.linear, "fc2.0", [ud, "Dense_0"])
+        e.unit(e.linear, "fc2.2", [ud, "Dense_1"])
+        e.unit(e.linear, "fc2.4", [ud, "Dense_2"])
+        e.unit(_vector_attention_out, e, "transformer2",
+               [ud, "VectorAttention_0"])
+        for j in range(nblocks):
+            e.unit(e.densebn, f"transition_ups.{j}.fc1.0",
+                   f"transition_ups.{j}.fc1.2",
+                   [ud, f"TransitionUp_{j}", "DenseBN_0"], linear=True)
+            e.unit(e.densebn, f"transition_ups.{j}.fc2.0",
+                   f"transition_ups.{j}.fc2.2",
+                   [ud, f"TransitionUp_{j}", "DenseBN_1"], linear=True)
+            e.unit(_vector_attention_out, e, f"transformers.{j}",
+                   [ud, f"VectorAttention_{j + 1}"])
+    else:
+        e.missing.append("UpDecoder_0 (init the model with the defrec/seg "
+                         "head to materialise the decoder)")
+
+    if "Dense_0" in e.params:
+        # Def variant only: `PointTransformerSeg` has NO DefRec module —
+        # exporting one would make its strict load fail on unexpected keys.
+        if e.has("DefRec"):
+            e.point_head("DefRec", "DefRec")
+        else:
+            e.missing.append("DefRec")
+
+    return e.finish(strict)
+
+
+# ---------------------------------------------------------------------------
 # PointSegDA DGCNN_DefRec (`PointSegDA/Models.py:197-386`)
 # ---------------------------------------------------------------------------
 

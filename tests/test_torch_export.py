@@ -32,8 +32,18 @@ def _stub_reference_model_deps():
     """PointDA/Models.py imports CUDA-only deps at module scope; stub them
     (forward paths under test never touch them on CPU)."""
     knn_cuda = types.ModuleType("knn_cuda")
-    knn_cuda.KNN = object
+
+    class _FakeKNN:  # instantiable (PointTransformer builds KNN objects)
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, *a, **k):
+            raise RuntimeError("KNN_CUDA stub: CPU tests must bypass it")
+
+    knn_cuda.KNN = _FakeKNN
     sys.modules.setdefault("knn_cuda", knn_cuda)
+    if sys.modules["knn_cuda"].KNN is object:  # older stub from another file
+        sys.modules["knn_cuda"].KNN = _FakeKNN
     p2o = types.ModuleType("pointnet2_ops")
     p2o.pointnet2_utils = types.ModuleType("pointnet2_ops.pointnet2_utils")
     sys.modules.setdefault("pointnet2_ops", p2o)
@@ -251,6 +261,185 @@ class TestExportDGCNNSeg:
             want["density_mse"].numpy(), rtol=1e-3, atol=1e-3)
 
 
+class TestExportHengshuang:
+    """HengshuangTransformer/-Seg -> the reference hengshuang models,
+    FULLY strict-loadable, forward-equivalent (reference FPS pinned to
+    the same start-0 convention; cf. TestHengshuangImport)."""
+
+    NB, K, DM, NPT = 4, 8, 64, 256
+
+    def _cfg(self):
+        cfg = SimpleNamespace(
+            num_point=self.NPT, nblocks=self.NB, nneighbor=self.K,
+            num_class=10, input_dim=3, transformer_dim=self.DM, dropout=0.5)
+        cfg.model = cfg
+        return cfg
+
+    @staticmethod
+    def _pin_fps(monkeypatch):
+        import PointDA.hengshuang_transformer.pointnet_util as pu
+
+        def fps0(xyz, npoint):
+            device = xyz.device
+            Bs, Ns, _ = xyz.shape
+            centroids = torch.zeros(Bs, npoint, dtype=torch.long).to(device)
+            distance = torch.ones(Bs, Ns).to(device) * 1e10
+            farthest = torch.zeros(Bs, dtype=torch.long).to(device)
+            batch_indices = torch.arange(Bs, dtype=torch.long)
+            for i in range(npoint):
+                centroids[:, i] = farthest
+                centroid = xyz[batch_indices, farthest, :].view(Bs, 1, 3)
+                dist = torch.sum((xyz - centroid) ** 2, -1)
+                distance = torch.min(distance, dist)
+                farthest = torch.max(distance, -1)[1]
+            return centroids
+
+        monkeypatch.setattr(pu, "farthest_point_sample", fps0)
+
+    def _cloud(self, rng):
+        return rng.standard_normal((2, self.NPT, 3)).astype(np.float32)
+
+    def test_def_strict_load_and_forward(self, rng, monkeypatch):
+        ref_hm = pytest.importorskip(
+            "PointDA.hengshuang_transformer.hengshuang_model")
+        from mlsp_tpu.models.hengshuang import HengshuangTransformer
+        from mlsp_tpu.utils.torch_export import export_hengshuang
+
+        self._pin_fps(monkeypatch)
+        model = HengshuangTransformer(
+            num_classes=10, nblocks=self.NB, nneighbor=self.K,
+            d_model=self.DM)
+        v = jax.jit(lambda r, x: model.init(
+            {"params": r}, x, train=False, heads=("defrec",)))(
+            jax.random.key(0), jnp.zeros((1, self.NPT, 3), jnp.float32))
+        v = _perturb(v, 41)
+        sd = export_hengshuang(v, nblocks=self.NB)
+
+        torch.manual_seed(41)
+        ref = _load_strict(ref_hm.PointTransformerDef(self._cfg()), sd)
+        x = self._cloud(rng)
+        with torch.no_grad():
+            want_cls = ref(torch.from_numpy(x), activate_DefRec=False)
+            want_def = ref(torch.from_numpy(x), activate_DefRec=True)
+        got = model.apply(v, jnp.asarray(x), train=False, heads=("defrec",))
+        np.testing.assert_allclose(np.asarray(got["cls"]),
+                                   want_cls.numpy(), rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(got["defrec"]),
+                                   want_def.numpy(), rtol=1e-3, atol=1e-3)
+
+    def test_seg_strict_load_and_forward(self, rng, monkeypatch):
+        ref_hm = pytest.importorskip(
+            "PointDA.hengshuang_transformer.hengshuang_model")
+        from mlsp_tpu.models.hengshuang import HengshuangSeg
+        from mlsp_tpu.utils.torch_export import export_hengshuang
+
+        self._pin_fps(monkeypatch)
+        model = HengshuangSeg(num_classes=10, nblocks=self.NB,
+                              nneighbor=self.K, d_model=self.DM)
+        v = jax.jit(lambda r, x: model.init(
+            {"params": r}, x, train=False, heads=("seg",)))(
+            jax.random.key(0), jnp.zeros((1, self.NPT, 3), jnp.float32))
+        v = _perturb(v, 42)
+        sd = export_hengshuang(v, nblocks=self.NB)
+        ref = _load_strict(ref_hm.PointTransformerSeg(self._cfg()), sd)
+        x = self._cloud(rng)
+        with torch.no_grad():
+            want = ref(torch.from_numpy(x))
+        got = model.apply(v, jnp.asarray(x), train=False, heads=("seg",))
+        np.testing.assert_allclose(np.asarray(got["seg"]), want.numpy(),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_import_export_roundtrip_exact(self):
+        """export -> import is the identity on every leaf."""
+        from mlsp_tpu.models.hengshuang import HengshuangTransformer
+        from mlsp_tpu.utils.torch_export import export_hengshuang
+        from mlsp_tpu.utils.torch_import import import_hengshuang
+
+        model = HengshuangTransformer(
+            num_classes=10, nblocks=self.NB, nneighbor=self.K,
+            d_model=self.DM)
+        v = jax.jit(lambda r, x: model.init(
+            {"params": r}, x, train=False, heads=("defrec",)))(
+            jax.random.key(2), jnp.zeros((1, self.NPT, 3), jnp.float32))
+        v = _perturb(v, 43)
+        sd = {k: torch.from_numpy(np.ascontiguousarray(a))
+              for k, a in export_hengshuang(v, nblocks=self.NB).items()}
+        back = import_hengshuang(sd, v, nblocks=self.NB)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            {"params": v["params"], "batch_stats": v["batch_stats"]},
+            {"params": back["params"], "batch_stats": back["batch_stats"]})
+
+
+class TestExportPointTransformer:
+    """Backbone + cls head export (the reference's CUDA DefRec pyramid is
+    not representable): torch loads strict=False — exactly how the
+    reference loads pretrained transformers — and the cls forward must
+    match; missing keys must be ONLY the pyramid/DefRec modules."""
+
+    G, M, D, E, HEADS, DEPTH, NPT = 16, 8, 96, 64, 4, 4, 128
+
+    def test_nonstrict_load_and_cls_forward(self, rng):
+        from mlsp_tpu.models.transformer import (
+            PointTransformer, group_points_knn,
+        )
+        from mlsp_tpu.utils.torch_export import export_point_transformer
+
+        model = PointTransformer(
+            num_classes=10, trans_dim=self.D, depth=self.DEPTH,
+            heads=self.HEADS, num_group=self.G, group_size=self.M,
+            encoder_dims=self.E)
+        v = jax.jit(lambda r, x: model.init(
+            {"params": r}, x, train=False))(
+            jax.random.key(0), jnp.zeros((1, self.NPT, 3), jnp.float32))
+        v = _perturb(v, 44)
+        # the reference qkv is bias-free; exporting drops nonzero flax
+        # qkv biases with a warning — zero them so both sides agree
+        for blk, sub in v["params"].items():
+            if blk.startswith("block"):
+                mha = sub["MultiHeadDotProductAttention_0"]
+                for nm in ("query", "key", "value"):
+                    mha[nm]["bias"] = np.zeros_like(
+                        np.asarray(mha[nm]["bias"]))
+        sd = export_point_transformer(v, heads=self.HEADS)
+
+        cfg = SimpleNamespace(
+            trans_dim=self.D, depth=self.DEPTH, drop_path_rate=0.0,
+            cls_dim=10, num_heads=self.HEADS, group_size=self.M,
+            num_group=self.G, encoder_dims=self.E, encoder_type="Encoder",
+            dropout=0.5, model="transformer")
+        torch.manual_seed(44)
+        ref = refM.PointTransformer(cfg)
+        inc = ref.load_state_dict(
+            {k: torch.from_numpy(np.ascontiguousarray(a))
+             for k, a in sd.items()}, strict=False)
+        assert not inc.unexpected_keys, inc.unexpected_keys
+        allowed = ("propagation_", "dgcnn_pro_", "DefRec.")
+        bad = [k for k in inc.missing_keys if not k.startswith(allowed)]
+        assert not bad, f"unexpectedly missing: {bad}"
+        ref.eval()
+
+        x = rng.standard_normal((2, self.NPT, 3)).astype(np.float32)
+        neigh, centers = group_points_knn(
+            jnp.asarray(x), self.G, self.M, jnp.zeros((2,), jnp.int32))
+
+        class _FixedGroup(torch.nn.Module):
+            def forward(self, pts):
+                return (torch.from_numpy(np.asarray(neigh)),
+                        torch.from_numpy(np.asarray(centers)))
+
+        ref.group_divider = _FixedGroup()
+        with torch.no_grad():
+            want = ref(torch.from_numpy(x), activate_DefRec=False)
+        got = model.apply(v, jnp.asarray(x), train=False)
+        # perturbed BN stats + 4 softmax-attention blocks amplify f32
+        # rounding multiplicatively (~3e-3 on O(1) logits); a mapping bug
+        # (e.g. a transposed qkv slice) diverges at O(1)
+        np.testing.assert_allclose(np.asarray(got["cls"]), want.numpy(),
+                                   rtol=1e-2, atol=5e-3)
+
+
 class TestExportCLI:
     def test_export_subcommand_end_to_end(self, tmp_path, rng):
         """native .ckpt -> `mlsp-tpu export` -> reference strict load ->
@@ -302,5 +491,6 @@ class TestExportCLI:
                                   model_file="x.ckpt",
                                   out_path=str(tmp_path)))
         with pytest.raises(ValueError, match="export supports"):
-            run_export(EvalConfig(model="transformer", model_file="x.ckpt",
+            # pointnet2 has no reference state_dict to target
+            run_export(EvalConfig(model="pointnet2", model_file="x.ckpt",
                                   out_path=str(tmp_path)))
