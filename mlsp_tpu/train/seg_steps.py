@@ -32,6 +32,7 @@ def _seg_step_inner(state, src_x, src_y, trgt_x, key, cfg):
     keys = jax.random.split(key, 12)
     src_x = augment_batch(keys[0], src_x)
     trgt_x = augment_batch(keys[1], trgt_x)
+    debug_aux = getattr(cfg, "debug_aux", False)
 
     def loss_fn(params):
         bstats = state.batch_stats
@@ -42,6 +43,8 @@ def _seg_step_inner(state, src_x, src_y, trgt_x, key, cfg):
         sx, sy = src_x, src_y
         if cfg.apply_PCM:
             sx, sy = pcm_mix_segmentation(keys[2], sx, sy, cfg.mixup_params)
+        if debug_aux:
+            m.update(aux_src=sx, aux_sy=sy, aux_trgt=trgt_x)
         logits, bstats = _apply(state, params, bstats, sx, ("seg",), keys[3])
         l = (1.0 - cfg.DefRec_weight) * seg_cross_entropy(logits["seg"], sy)
         m["src_seg"] = l
@@ -51,6 +54,8 @@ def _seg_step_inner(state, src_x, src_y, trgt_x, key, cfg):
         # ---- target SSL ----
         if cfg.DefRec_on_trgt:
             dx, mask = T.deform_batch(keys[4], trgt_x, cfg.num_regions)
+            if debug_aux:
+                m.update(aux_dx=dx, aux_dmask=mask)
             logits, bstats = _apply(state, params, bstats, dx, ("defrec",), keys[5])
             l = L.defrec_loss(logits["defrec"], trgt_x, mask, cfg.DefRec_weight)
             m["trgt_DefRec"] = l

@@ -152,6 +152,8 @@ def _pointda_grads_inner(state, src_x, src_y, trgt_x, key, cfg):
 
         if cfg.apply_PCM:
             mixed, (ya, yb, lam) = pcm_mix(keys[4], src_x, src_y, cfg.mixup_params)
+            if debug_aux:
+                m.update(aux_mixed=mixed, aux_ya=ya, aux_yb=yb, aux_lam=lam)
             logits, bstats = _apply(state, params, bstats, mixed, (), keys[5])
             l = L.mixup_cross_entropy(logits["cls"], ya, yb, lam, cfg.DefRec_weight)
             m["src_mixup"] = l

@@ -208,6 +208,7 @@ class PointSegDAConfig:
     Normal_ondef: bool = False
     near: int = 10
     shift: int = 10
+    debug_aux: bool = False  # see PointDAConfig (torch trajectory test)
     density_radius: float = 0.081
     knn_backend: str = "auto"
     compute_dtype: str = "f32"
