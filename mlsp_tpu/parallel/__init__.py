@@ -1,4 +1,5 @@
 from mlsp_tpu.parallel.mesh import (
+    fetch_global,
     init_distributed,
     make_mesh,
     shard_batch,

@@ -54,6 +54,28 @@ def make_mesh(devices=None, data: int | None = None, points: int = 1) -> Mesh:
     return Mesh(arr, ("data", "points"))
 
 
+def fetch_global(x) -> np.ndarray:
+    """Materialise a (possibly multi-process-sharded) array on the host.
+
+    Single process: a plain `np.asarray`. Multi-host: `np.asarray` on a
+    global array whose shards live on other processes raises, so the
+    value is all-gathered across processes first
+    (`multihost_utils.process_allgather`) — every rank gets the full
+    array (trainer evals/selection need it everywhere to keep ranks in
+    lockstep)."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    if isinstance(x, jax.Array):
+        if x.is_fully_replicated:
+            # every process holds the whole value — read the local copy
+            # (process_allgather would CONCATENATE per-process copies)
+            return np.asarray(x.addressable_data(0))
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading axis sharded over `data`."""
     return NamedSharding(mesh, P("data"))

@@ -391,12 +391,16 @@ EVAL_SCAN_CHUNK = 64
 
 def scan_in_chunks(scan_fn, state, batch_list, chunk=None):
     """Run `scan_fn(state, [s, ...])` over a list of equal-shape batches
-    in bounded chunks; returns the stacked [S, ...] outputs as numpy."""
+    in bounded chunks; returns the stacked [S, ...] outputs as numpy
+    (all-gathered across processes under multi-host — see
+    `parallel.fetch_global`)."""
     import numpy as np
+
+    from mlsp_tpu.parallel import fetch_global
 
     chunk = chunk or EVAL_SCAN_CHUNK
     outs = []
     for s in range(0, len(batch_list), chunk):
         xs = jnp.asarray(np.stack(batch_list[s : s + chunk]))
-        outs.append(np.asarray(scan_fn(state, xs)))
+        outs.append(fetch_global(scan_fn(state, xs)))
     return np.concatenate(outs, axis=0)

@@ -16,6 +16,10 @@ from flax import serialization
 
 
 def save(path: str, tree: Any) -> None:
+    # Multi-host: state is replicated, so only process 0 writes (every
+    # rank serialising to the same shared path would race/corrupt).
+    if jax.process_index() != 0:
+        return
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(tree))

@@ -10,21 +10,43 @@ import datetime
 import os
 
 
+def _process_index() -> int:
+    try:
+        import jax
+
+        return jax.process_index()
+    except Exception:
+        return 0
+
+
 class IOStream:
+    """Multi-host aware: only process 0 owns the experiment files
+    (run.log / metrics.jsonl / confusion CSVs) — other ranks still print
+    to their own stdout (rank-prefixed) but never race on shared paths.
+    """
+
     def __init__(self, out_path: str, exp_name: str):
         self.path = os.path.join(out_path, exp_name)
-        os.makedirs(self.path, exist_ok=True)
-        self._f = open(os.path.join(self.path, "run.log"), "a")
+        self.primary = _process_index() == 0
+        self._rank = _process_index()
+        if self.primary:
+            os.makedirs(self.path, exist_ok=True)
+            self._f = open(os.path.join(self.path, "run.log"), "a")
+        else:
+            self._f = None
 
     def cprint(self, text: str) -> None:
         stamp = datetime.datetime.now().strftime("%d-%m-%y %H:%M:%S")
-        line = f"{stamp}: {text}"
+        prefix = "" if self.primary else f"[rank {self._rank}] "
+        line = f"{stamp}: {prefix}{text}"
         print(line)
-        self._f.write(line + "\n")
-        self._f.flush()
+        if self._f is not None:
+            self._f.write(line + "\n")
+            self._f.flush()
 
     def close(self) -> None:
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
 
     def print_progress(self, domain_set, partition, epoch, print_losses,
                        true=None, pred=None):
@@ -60,6 +82,8 @@ class IOStream:
                 return v.tolist()
             return v
 
+        if not self.primary:
+            return
         with open(os.path.join(self.path, fname), "a") as f:
             f.write(json.dumps(conv(record)) + "\n")
 
@@ -72,7 +96,7 @@ class IOStream:
         import json
 
         path = os.path.join(self.path, fname)
-        if not os.path.exists(path):
+        if not self.primary or not os.path.exists(path):
             return
         kept = []
         with open(path) as f:

@@ -158,6 +158,65 @@ def test_four_process_ddp(tmp_path):
         assert f"proc{i} OK" in out, out
 
 
+_WORKER_TRAINER = r"""
+import os, sys
+import jax
+
+proc_id = int(sys.argv[1]); coord = sys.argv[2]; nprocs = int(sys.argv[3])
+jax.config.update("jax_platforms", "cpu")
+from mlsp_tpu.parallel import init_distributed, make_mesh
+init_distributed(coordinator_address=coord, num_processes=nprocs,
+                 process_id=proc_id)
+from mlsp_tpu.train import train_pointda
+from mlsp_tpu.utils.config import PointDAConfig
+
+out = os.environ["MLSP_TEST_OUT"]
+cfg = PointDAConfig(
+    synthetic=True, epochs=1, batch_size=8, num_points=64,
+    out_path=out, exp_name="mh", model="pointnet", apply_PCM=False,
+    test_batch_size=8, scan_steps=4, save_every=1)
+mesh = make_mesh(jax.devices(), data=len(jax.devices()), points=1)
+state, results = train_pointda(cfg, mesh=mesh)
+print(f"proc{proc_id} final {results['test']['acc']:.6f} "
+      f"{results['test']['loss']:.6f}", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_trainer_two_process(tmp_path):
+    """The FULL PointDA trainer (epoch loop, scanned steps, chunked
+    evals, best-model selection, periodic checkpoints) runs unchanged on
+    a real 2-process cluster: both ranks complete, report identical
+    final metrics, and only rank 0 owns the experiment files."""
+    coord = _free_port()
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER_TRAINER)
+    env = _env(2)
+    env["MLSP_TEST_OUT"] = str(tmp_path)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), coord, "2"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    finals = []
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{i} failed:\n{out}"
+        line = [l for l in out.splitlines() if f"proc{i} final" in l]
+        assert line, out
+        finals.append(line[0].split("final")[1])
+    assert finals[0] == finals[1], finals  # replicated metrics agree
+    # rank 0 owns the files; rank 1 wrote none
+    assert (tmp_path / "mh" / "run.log").exists()
+    assert (tmp_path / "mh" / "model.ckpt").exists()
+    assert len((tmp_path / "mh" / "metrics.jsonl")
+               .read_text().splitlines()) == 1
+    assert "[rank 1]" not in (tmp_path / "mh" / "run.log").read_text()
+
+
 _WORKER_DIE = r"""
 import os, sys, time
 import jax
