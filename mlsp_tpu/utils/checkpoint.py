@@ -1,4 +1,4 @@
-"""Checkpoint save/load via flax msgpack serialization (+ orbax option).
+"""Checkpoint save/load via flax msgpack serialization.
 
 Replaces the reference's `torch.save(state_dict)` path
 (`utils/log.py:31-41`) and the dead richer path in
