@@ -121,8 +121,14 @@ def main(argv=None) -> int:
     p_export = sub.add_parser(
         "export", help="export a checkpoint as a reference-loadable torch "
                        "model.pt (inverse of --from_torch; dgcnn/pointnet/"
-                       "dgcnn_seg)")
+                       "dgcnn_seg/point_transformer/hengshuang)")
     _add_config_args(p_export, EvalConfig)
+
+    p_aot = sub.add_parser(
+        "aot", help="freeze a checkpoint into an AOT serving bundle "
+                    "(StableHLO eval program + weights; loads and runs "
+                    "with NO model code)")
+    _add_config_args(p_aot, EvalConfig)
 
     args = parser.parse_args(argv)
     enable_cache()
@@ -183,6 +189,10 @@ def main(argv=None) -> int:
         from mlsp_tpu.train.evaluation import run_export
 
         run_export(_to_config(EvalConfig, args))
+    elif args.command == "aot":
+        from mlsp_tpu.train.evaluation import run_aot_export
+
+        run_aot_export(_to_config(EvalConfig, args))
     return 0
 
 
