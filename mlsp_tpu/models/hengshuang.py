@@ -37,6 +37,7 @@ class VectorAttention(nn.Module):
 
     d_model: int = 128
     k: int = 16
+    knn_backend: str = "auto"
 
     @nn.compact
     def __call__(self, xyz, feats, train: bool):
@@ -47,7 +48,7 @@ class VectorAttention(nn.Module):
         kf = nn.Dense(self.d_model, use_bias=False)(x)
         vf = nn.Dense(self.d_model, use_bias=False)(x)
 
-        idx = knn_indices(xyz, min(self.k, N))
+        idx = knn_indices(xyz, min(self.k, N), backend=self.knn_backend)
         kk = idx.shape[-1]
         flat = idx.reshape(B, N * kk)
         k_j = jnp.take_along_axis(kf, flat[..., None], 1).reshape(B, N, kk, -1)
@@ -73,13 +74,16 @@ class TransitionDown(nn.Module):
     npoint: int
     k: int = 16
     channels: int = 64
+    knn_backend: str = "auto"
 
     @nn.compact
     def __call__(self, xyz, feats, train: bool):
         B = xyz.shape[0]
-        idx = fps(xyz, self.npoint, jnp.zeros((B,), jnp.int32))
+        idx = fps(xyz, self.npoint, jnp.zeros((B,), jnp.int32),
+                  backend=self.knn_backend)
         centers = fps_gather(xyz, idx)
-        nidx = knn_indices(centers, min(self.k, xyz.shape[1]), y=xyz)
+        nidx = knn_indices(centers, min(self.k, xyz.shape[1]), y=xyz,
+                           backend=self.knn_backend)
         g = group_points(xyz, feats, centers, nidx)  # [B, S, k, 3+C]
         # Two conv+BN+ReLU stages like the reference SA mlp
         # ([channel, channel], `pointnet_util.py:166-172,191-194`).
@@ -114,12 +118,14 @@ class Backbone(nn.Module):
     nneighbor: int = 16
     d_model: int = 128
     base_dim: int = 32
+    knn_backend: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool):
         N = x.shape[1]
         feats = nn.Dense(self.base_dim)(nn.relu(nn.Dense(self.base_dim)(x)))
-        feats = VectorAttention(self.d_model, self.nneighbor)(x, feats, train)
+        feats = VectorAttention(self.d_model, self.nneighbor,
+                                self.knn_backend)(x, feats, train)
 
         xyz, taps = x, [(x, feats)]
         for i in range(self.nblocks):
@@ -127,8 +133,10 @@ class Backbone(nn.Module):
             # level sizes exactly as the reference (`hengshuang_model.py:65`):
             # npoints // 4**(i+1), no neighbour floor (1024 -> 256/64/16/4)
             npoint = max(N // 4 ** (i + 1), 1)
-            xyz, feats = TransitionDown(npoint, self.nneighbor, ch)(xyz, feats, train)
-            feats = VectorAttention(self.d_model, self.nneighbor)(xyz, feats, train)
+            xyz, feats = TransitionDown(npoint, self.nneighbor, ch,
+                                        self.knn_backend)(xyz, feats, train)
+            feats = VectorAttention(self.d_model, self.nneighbor,
+                                    self.knn_backend)(xyz, feats, train)
             taps.append((xyz, feats))
         return taps
 
@@ -142,6 +150,7 @@ class UpDecoder(nn.Module):
     nneighbor: int = 16
     d_model: int = 128
     base_dim: int = 32
+    knn_backend: str = "auto"
 
     @nn.compact
     def __call__(self, taps, train: bool):
@@ -151,12 +160,14 @@ class UpDecoder(nn.Module):
         h = nn.relu(nn.Dense(512)(feats))
         h = nn.relu(nn.Dense(512)(h))
         h = nn.Dense(ch_last)(h)
-        feats = VectorAttention(self.d_model, self.nneighbor)(xyz, h, train)
+        feats = VectorAttention(self.d_model, self.nneighbor,
+                                self.knn_backend)(xyz, h, train)
         for i in reversed(range(self.nblocks)):
             ch = self.base_dim * 2 ** i
             xyz_f, f_f = taps[i]
             feats = TransitionUp(ch)(xyz, feats, xyz_f, f_f, train)
-            feats = VectorAttention(self.d_model, self.nneighbor)(xyz_f, feats, train)
+            feats = VectorAttention(self.d_model, self.nneighbor,
+                                    self.knn_backend)(xyz_f, feats, train)
             xyz = xyz_f
         return feats  # [B, N, base_dim]
 
@@ -170,11 +181,12 @@ class HengshuangTransformer(nn.Module):
     d_model: int = 128  # transformer_dim in the reference yaml
     base_dim: int = 32
     dropout: float = 0.5
+    knn_backend: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False, heads: tuple[str, ...] = ()):
         taps = Backbone(self.nblocks, self.nneighbor, self.d_model,
-                        self.base_dim)(x, train)
+                        self.base_dim, self.knn_backend)(x, train)
         feats = taps[-1][1]
 
         pooled = jnp.mean(feats, axis=1)
@@ -191,7 +203,7 @@ class HengshuangTransformer(nn.Module):
             # head is the same 4-layer per-point module as everywhere
             # else (`Models.py:165-197`), SplitDense first layer.
             per_pt = UpDecoder(self.nblocks, self.nneighbor, self.d_model,
-                               self.base_dim)(taps, train)
+                               self.base_dim, self.knn_backend)(taps, train)
             logits["defrec"] = PointMLPHead(3, self.dropout, name="DefRec")(
                 (per_pt, pooled), train)
         return logits
@@ -208,14 +220,15 @@ class HengshuangSeg(nn.Module):
     d_model: int = 128
     base_dim: int = 32
     dropout: float = 0.5
+    knn_backend: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False, heads: tuple[str, ...] = ()):
         taps = Backbone(self.nblocks, self.nneighbor, self.d_model,
-                        self.base_dim)(x, train)
+                        self.base_dim, self.knn_backend)(x, train)
         pooled = jnp.mean(taps[-1][1], axis=1)
         per_pt = UpDecoder(self.nblocks, self.nneighbor, self.d_model,
-                           self.base_dim)(taps, train)
+                           self.base_dim, self.knn_backend)(taps, train)
 
         # Heads are gated, so every layer is explicitly named — flax
         # auto-numbering would shift between head subsets otherwise.

@@ -26,10 +26,11 @@ class SetAbstraction(nn.Module):
     radius: float
     nsample: int
     mlp: tuple[int, ...]
+    knn_backend: str = "auto"
 
     @nn.compact
     def __call__(self, xyz, feats, start_idx, train: bool):
-        idx = fps(xyz, self.npoint, start_idx)
+        idx = fps(xyz, self.npoint, start_idx, backend=self.knn_backend)
         centers = fps_gather(xyz, idx)
         gidx = ball_query(xyz, centers, self.radius, self.nsample)
         g = group_points(xyz, feats, centers, gidx)  # [B, S, ns, 3+C]
@@ -56,6 +57,7 @@ class PointNet2SSG(nn.Module):
 
     num_classes: int = 10
     dropout: float = 0.4
+    knn_backend: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False, heads: tuple[str, ...] = (),
@@ -68,8 +70,10 @@ class PointNet2SSG(nn.Module):
         else:
             s1, s2 = rng_start
 
-        xyz1, f1 = SetAbstraction(512, 0.2, 32, (64, 64, 128))(x, None, s1, train)
-        xyz2, f2 = SetAbstraction(128, 0.4, 64, (128, 128, 256))(xyz1, f1, s2, train)
+        xyz1, f1 = SetAbstraction(512, 0.2, 32, (64, 64, 128),
+                                  self.knn_backend)(x, None, s1, train)
+        xyz2, f2 = SetAbstraction(128, 0.4, 64, (128, 128, 256),
+                                  self.knn_backend)(xyz1, f1, s2, train)
         feat = GlobalAbstraction((256, 512, 1024))(xyz2, f2, train)
 
         h = DenseBN(512, "relu")(feat, train)

@@ -28,15 +28,16 @@ from mlsp_tpu.ops.pairwise import pairwise_sqdist
 
 
 def group_points_knn(xyz: jax.Array, num_group: int, group_size: int,
-                     start_idx: jax.Array):
+                     start_idx: jax.Array, backend: str = "auto"):
     """`Group.forward` (`model_utils.py:177-198`): FPS centers, kNN
     neighbourhoods, normalised by center.
 
     Returns (neighborhood [B, G, M, 3], centers [B, G, 3]).
     """
-    idx = fps(xyz, num_group, start_idx)
+    idx = fps(xyz, num_group, start_idx, backend=backend)
     centers = fps_gather(xyz, idx)
-    nidx = knn_indices(centers, group_size, y=xyz)  # [B, G, M] into xyz
+    nidx = knn_indices(centers, group_size, y=xyz,
+                       backend=backend)  # [B, G, M] into xyz
     B, G, M = nidx.shape
     flat = nidx.reshape(B, G * M)
     neigh = jnp.take_along_axis(xyz, flat[..., None], axis=1).reshape(B, G, M, 3)
@@ -145,13 +146,16 @@ class PointTransformer(nn.Module):
     encoder_dims: int = 256
     dropout: float = 0.5
     fetch_idx: tuple[int, ...] = (3, 7, 11)
+    knn_backend: str = "auto"  # "xla" pins the grouping to pure-XLA
+    # kernels (platform-portable, e.g. for AOT serving bundles)
 
     @nn.compact
     def __call__(self, x, train: bool = False, heads: tuple[str, ...] = (),
                  rng_start=None):
         B, N, _ = x.shape
         start = jnp.zeros((B,), jnp.int32) if rng_start is None else rng_start
-        neigh, centers = group_points_knn(x, self.num_group, self.group_size, start)
+        neigh, centers = group_points_knn(x, self.num_group, self.group_size,
+                                          start, backend=self.knn_backend)
         tokens = GroupEncoder(self.encoder_dims)(neigh, train)  # [B, G, E]
         tokens = nn.Dense(self.trans_dim, name="reduce_dim")(tokens)
 

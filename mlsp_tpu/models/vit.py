@@ -94,6 +94,7 @@ class DgcnnGroupEncoder(nn.Module):
 
     dim: int = 384
     k: int = 20
+    knn_backend: str = "auto"
 
     @nn.compact
     def __call__(self, rel, train: bool):
@@ -105,13 +106,13 @@ class DgcnnGroupEncoder(nn.Module):
         x = rel.reshape(B * G, M, 3)
         k = min(self.k, M)
 
-        idx0 = knn_indices(x, k)
+        idx0 = knn_indices(x, k, backend=self.knn_backend)
         T = TransformNet(out=3, mode="dgcnn")(edge_features(x, idx0), train)
         x = jnp.einsum("bnc,bdc->bnd", x, T)
 
         feats = []
         for width in (64, 64, 128, 256):
-            x = EdgeConv(width)(x, knn_indices(x, k), train)
+            x = EdgeConv(width)(x, knn_indices(x, k, backend=self.knn_backend), train)
             feats.append(x)
         x = DenseBN(self.dim, "leakyrelu", use_bias=False)(
             jnp.concatenate(feats, axis=-1), train)
@@ -163,6 +164,7 @@ class PointViT(nn.Module):
     # path, model_utils.py:345-351).
     use_absolute: bool = False
     fetch_idx: tuple[int, ...] = (3, 7, 11)
+    knn_backend: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False, heads: tuple[str, ...] = (),
@@ -176,7 +178,7 @@ class PointViT(nn.Module):
         B, N, _ = x.shape
         start = jnp.zeros((B,), jnp.int32) if rng_start is None else rng_start
         rel, centers = group_points_knn(x, self.num_group, self.group_size,
-                                        start)
+                                        start, backend=self.knn_backend)
         # Reference encoder_type map (vit_utils.py:95-103): "relative" ->
         # Relative_Encoder, "pointnet" -> Encoder, "dgcnn" ->
         # Dgcnn_Encoder, "pointnet_tnet" -> Pointnet_Encoder.
@@ -187,7 +189,8 @@ class PointViT(nn.Module):
         elif self.encoder_type == "pointnet":
             tokens = GroupEncoder(self.encoder_dims)(rel, train)
         elif self.encoder_type == "dgcnn":
-            tokens = DgcnnGroupEncoder(self.encoder_dims)(rel, train)
+            tokens = DgcnnGroupEncoder(
+                self.encoder_dims, knn_backend=self.knn_backend)(rel, train)
         elif self.encoder_type == "pointnet_tnet":
             tokens = PointnetGroupEncoder(self.encoder_dims)(rel, train)
         else:

@@ -93,7 +93,10 @@ class ServingModel:
         with open(os.path.join(path, _FN_FILE), "rb") as f:
             self._fn = jexport.deserialize(f.read())
         with open(os.path.join(path, _WEIGHTS_FILE), "rb") as f:
-            self._weights = serialization.msgpack_restore(f.read())
+            # device_put once: keeping the weights as host numpy would
+            # re-transfer the whole tree on EVERY predict call
+            self._weights = jax.tree_util.tree_map(
+                jnp.asarray, serialization.msgpack_restore(f.read()))
         self._call = jax.jit(self._fn.call)
 
     def predict(self, x: np.ndarray) -> np.ndarray:

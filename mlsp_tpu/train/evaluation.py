@@ -35,6 +35,33 @@ def _load_weights(cfg: EvalConfig, state, io: IOStream):
     return state
 
 
+def _build_model(cfg: EvalConfig, knn_backend: str | None = None):
+    """ONE model constructor for eval/infer/export/aot (three earlier
+    copies had diverged — e.g. hengshuang_seg could never export).
+
+    Returns (model, heads). `knn_backend` overrides the config's (the
+    AOT path pins "xla" so bundles are platform-portable); every model
+    family except PointNet (which has no kNN at all) accepts it.
+    """
+    from mlsp_tpu.models import make_model
+    from mlsp_tpu.utils.config import (
+        dgcnn_dtype_kwargs, model_heads, seg_model_heads,
+    )
+
+    kb = knn_backend or cfg.knn_backend
+    kw = {} if cfg.model == "pointnet" else {"knn_backend": kb}
+    if cfg.model == "dgcnn":
+        kw.update(density_num_cls=cfg.density_num_class,
+                  pergroup=cfg.pergroup, **dgcnn_dtype_kwargs(cfg))
+    elif cfg.model == "dgcnn_seg":
+        kw.update(density_num_cls=cfg.density_num_class,
+                  pergroup=cfg.pergroup)
+    model = make_model(cfg.model, cfg.num_class, dropout=cfg.dropout, **kw)
+    heads = (seg_model_heads(cfg.model) if cfg.task == "pointsegda"
+             else model_heads(cfg.model))
+    return model, heads
+
+
 def _setup(cfg: EvalConfig, io: IOStream):
     """Dataset + model + weight-loaded state for one eval/infer run.
 
@@ -45,46 +72,26 @@ def _setup(cfg: EvalConfig, io: IOStream):
     from mlsp_tpu.train.state import create_train_state
 
     key = jax.random.key(cfg.seed)
+    model, heads = _build_model(cfg)
     if cfg.task == "pointsegda":
         from mlsp_tpu.data.pointsegda import load_pointsegda
-        from mlsp_tpu.models import DGCNNSeg
-        from mlsp_tpu.utils.config import seg_model_heads
 
         ds = load_pointsegda(cfg.dataset, cfg.dataroot, cfg.split,
                              cfg.synthetic, cfg.num_points)
-        if cfg.model == "dgcnn_seg":
-            model = DGCNNSeg(num_classes=cfg.num_class, dropout=cfg.dropout,
-                             density_num_cls=cfg.density_num_class,
-                             pergroup=cfg.pergroup,
-                             knn_backend=cfg.knn_backend)
-        else:
-            from mlsp_tpu.models import make_model
-
-            model = make_model(cfg.model, cfg.num_class, dropout=cfg.dropout)
         sample = jnp.zeros(
             (min(cfg.test_batch_size, len(ds.data)),) + ds.data.shape[1:],
             jnp.float32)
-        state = create_train_state(
-            model, key, sample, heads=seg_model_heads(cfg.model))
+        state = create_train_state(model, key, sample, heads=heads)
         return _load_weights(cfg, state, io), ds.data, ds.label, None
 
     from mlsp_tpu.data import load_pointda
-    from mlsp_tpu.models import make_model
-    from mlsp_tpu.utils.config import dgcnn_dtype_kwargs, model_heads
 
     partition = "train" if cfg.split in ("train", "val") else "test"
     ds = load_pointda(cfg.dataset, cfg.dataroot, partition,
                       cfg.num_points, cfg.synthetic, cfg.seed)
     indices = {"train": ds.train_ind, "val": ds.val_ind}.get(cfg.split)
-    model = make_model(
-        cfg.model, cfg.num_class, dropout=cfg.dropout,
-        **(dict(density_num_cls=cfg.density_num_class, pergroup=cfg.pergroup,
-                knn_backend=cfg.knn_backend, **dgcnn_dtype_kwargs(cfg))
-           if cfg.model == "dgcnn" else {}),
-    )
     sample = jnp.zeros((cfg.test_batch_size, cfg.num_points, 3), jnp.float32)
-    state = create_train_state(model, key, sample,
-                               heads=model_heads(cfg.model))
+    state = create_train_state(model, key, sample, heads=heads)
     return _load_weights(cfg, state, io), ds.data, ds.label, indices
 
 
@@ -185,37 +192,17 @@ def run_aot_export(cfg: EvalConfig, io: IOStream | None = None) -> dict:
     the live model on a random batch. The bundle's kNN path is forced to
     the XLA backend so one artifact serves on both cpu and tpu.
     """
-    import dataclasses
-
     from mlsp_tpu import serving
     from mlsp_tpu.train.state import create_train_state
-    from mlsp_tpu.utils.config import model_heads, seg_model_heads
 
-    cfg = dataclasses.replace(cfg.resolved(), knn_backend="xla")
+    cfg = cfg.resolved()
     io = io or IOStream(cfg.out_path, cfg.exp_name)
 
     key = jax.random.key(cfg.seed)
     sample = jnp.zeros((1, cfg.num_points, 3), jnp.float32)
-    if cfg.task == "pointsegda":
-        from mlsp_tpu.models import DGCNNSeg, make_model
-
-        if cfg.model == "dgcnn_seg":
-            model = DGCNNSeg(num_classes=cfg.num_class, dropout=cfg.dropout,
-                             density_num_cls=cfg.density_num_class,
-                             pergroup=cfg.pergroup, knn_backend="xla")
-        else:
-            model = make_model(cfg.model, cfg.num_class, dropout=cfg.dropout)
-        heads = seg_model_heads(cfg.model)
-    else:
-        from mlsp_tpu.models import make_model
-
-        model = make_model(
-            cfg.model, cfg.num_class, dropout=cfg.dropout,
-            **(dict(density_num_cls=cfg.density_num_class,
-                    pergroup=cfg.pergroup, knn_backend="xla")
-               if cfg.model == "dgcnn" else {}),
-        )
-        heads = model_heads(cfg.model)
+    # "xla" kNN everywhere: one artifact must lower for cpu AND tpu
+    # (Pallas kernels are chip-toolchain-specific)
+    model, heads = _build_model(cfg, knn_backend="xla")
     state = create_train_state(model, key, sample, heads=heads)
     state = _load_weights(cfg, state, io)
 
@@ -231,7 +218,8 @@ def run_aot_export(cfg: EvalConfig, io: IOStream | None = None) -> dict:
     x = (rng.standard_normal(
         (cfg.test_batch_size, cfg.num_points, 3)) * 0.5).astype(np.float32)
     frozen = bundle.predict(x)
-    live = np.asarray(serving._build_eval_fn(model, cfg.task)(
+    # jitted: an eager forward costs 1 RTT per op through the TPU relay
+    live = np.asarray(jax.jit(serving._build_eval_fn(model, cfg.task))(
         state.params, state.batch_stats, jnp.asarray(x)))
     max_diff = float(np.abs(frozen - live).max())
     summary = {"output": out_dir, "model": cfg.model, "task": cfg.task,

@@ -113,6 +113,8 @@ class IOStream:
                       class_names=None) -> None:
         import csv
 
+        if not self.primary:
+            return
         n = conf_matrix.shape[0]
         names = class_names or [str(i) for i in range(n)]
         with open(os.path.join(self.path, f"{domain_set}_{fname}"), "w", newline="") as f:

@@ -315,7 +315,7 @@ def _group_encoder(e: _Exporter, dst: str, src: str) -> None:
         e.unit(one)
 
 
-def export_point_transformer(variables: dict, heads: int = 6,
+def export_point_transformer(variables: dict,
                              strict: bool = False) -> dict:
     """flax `PointTransformer` -> reference state_dict (BACKBONE + cls
     head). The reference's DefRec branch is a CUDA propagation pyramid

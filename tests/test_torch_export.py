@@ -402,7 +402,7 @@ class TestExportPointTransformer:
                 for nm in ("query", "key", "value"):
                     mha[nm]["bias"] = np.zeros_like(
                         np.asarray(mha[nm]["bias"]))
-        sd = export_point_transformer(v, heads=self.HEADS)
+        sd = export_point_transformer(v)
 
         cfg = SimpleNamespace(
             trans_dim=self.D, depth=self.DEPTH, drop_path_rate=0.0,
