@@ -45,13 +45,15 @@ def _build_eval_fn(model, task: str):
 
 
 def save_serving_bundle(state, model, path: str, *, task: str = "pointda",
-                        batch_size: int = 32, num_points: int = 1024,
-                        num_class: int = 10,
+                        batch_size: int | None = None,
+                        num_points: int = 1024, num_class: int = 10,
                         platforms=("cpu", "tpu")) -> dict:
     """Freeze `model` + `state` into an AOT bundle directory.
 
-    The model must have been built with `knn_backend="xla"` (asserted
-    indirectly: Pallas calls would fail to lower for the other
+    `batch_size=None` (default) exports with a SYMBOLIC batch dimension:
+    one artifact serves any batch size (the point count stays static —
+    it shapes the kNN graphs). The model must have been built with
+    `knn_backend="xla"` (Pallas calls would fail to lower for the other
     platform).
     """
     from jax import export as jexport
@@ -61,9 +63,11 @@ def save_serving_bundle(state, model, path: str, *, task: str = "pointda",
 
     spec = lambda t: jax.tree_util.tree_map(  # noqa: E731
         lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype), t)
+    bdim = (jexport.symbolic_shape("b")[0] if batch_size is None
+            else batch_size)
     exp = jexport.export(jax.jit(fn), platforms=list(platforms))(
         spec(state.params), spec(state.batch_stats),
-        jax.ShapeDtypeStruct((batch_size, num_points, 3), jnp.float32))
+        jax.ShapeDtypeStruct((bdim, num_points, 3), jnp.float32))
     with open(os.path.join(path, _FN_FILE), "wb") as f:
         f.write(exp.serialize())
 
@@ -100,12 +104,15 @@ class ServingModel:
         self._call = jax.jit(self._fn.call)
 
     def predict(self, x: np.ndarray) -> np.ndarray:
-        """x [B, N, 3] (B/N fixed by the bundle) -> class logits
-        ([B, C] classification / [B, N, C] segmentation)."""
+        """x [B, N, 3] -> class logits ([B, C] classification /
+        [B, N, C] segmentation). N is fixed by the bundle; B too unless
+        the bundle was exported batch-polymorphic (the default)."""
         B, N = self.meta["batch_size"], self.meta["num_points"]
-        if x.shape != (B, N, 3):
+        want = ("any" if B is None else B, N, 3)
+        if (x.ndim != 3 or x.shape[1:] != (N, 3)
+                or (B is not None and x.shape[0] != B)):
             raise ValueError(
-                f"bundle expects [{B}, {N}, 3] inputs, got {x.shape}")
+                f"bundle expects {want} inputs, got {x.shape}")
         out = self._call(self._weights["params"],
                          self._weights["batch_stats"],
                          jnp.asarray(x, jnp.float32))

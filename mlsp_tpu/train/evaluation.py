@@ -209,8 +209,8 @@ def run_aot_export(cfg: EvalConfig, io: IOStream | None = None) -> dict:
     out_dir = cfg.output or os.path.join(io.path, "serving_bundle")
     meta = serving.save_serving_bundle(
         state, model, out_dir, task=cfg.task,
-        batch_size=cfg.test_batch_size, num_points=cfg.num_points,
-        num_class=cfg.num_class)
+        num_points=cfg.num_points, num_class=cfg.num_class)
+    # batch-polymorphic by default: one artifact, any serving batch
 
     # self-check: the frozen program must reproduce the live model
     bundle = serving.load_serving_bundle(out_dir)

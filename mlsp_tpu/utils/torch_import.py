@@ -529,7 +529,7 @@ def _encoder_into_group_encoder(m: _Mapper, dst: str, src: str):
         m.unit(one)
 
 
-def import_point_transformer(sd: dict, variables: dict, heads: int = 6,
+def import_point_transformer(sd: dict, variables: dict,
                              strict: bool = True) -> dict:
     """Map a reference `PointTransformer` state_dict (or a pretraining
     checkpoint's backbone after `strip_pretrain_prefixes`) onto flax
@@ -584,10 +584,12 @@ def import_point_transformer(sd: dict, variables: dict, heads: int = 6,
             ln([dst, "LayerNorm_0"], f"{src}.norm1")
             ln([dst, "LayerNorm_1"], f"{src}.norm2")
             # fused qkv [3D, D] -> flax per-head q/k/v kernels [D, H, Dh]
+            # (H inferred from the model's own kernel shape)
             W = _np(m.src(f"{src}.attn.qkv.weight"))
             D = W.shape[1]
-            dh = D // heads
             node = m._node(m.params, [dst, "MultiHeadDotProductAttention_0"])
+            heads = node["query"]["kernel"].shape[1]
+            dh = D // heads
             qkv_b = m.src_opt(f"{src}.attn.qkv.bias")
             for j, nm in enumerate(("query", "key", "value")):
                 k_ = W[j * D:(j + 1) * D].T.reshape(D, heads, dh)
@@ -763,8 +765,7 @@ def strip_pretrain_prefixes(ckpt: dict) -> dict:
     return out
 
 
-def load_reference_point_transformer(path: str, variables: dict,
-                                     heads: int = 6) -> dict:
+def load_reference_point_transformer(path: str, variables: dict) -> dict:
     """Torch checkpoint file -> flax variables.
 
     Accepts either a plain `model.pt` state_dict or a Point-BERT-style
@@ -777,9 +778,9 @@ def load_reference_point_transformer(path: str, variables: dict,
     ckpt = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(ckpt, dict) and "base_model" in ckpt:
         return import_point_transformer(
-            strip_pretrain_prefixes(ckpt), variables, heads, strict=False)
+            strip_pretrain_prefixes(ckpt), variables, strict=False)
     sd = {k.removeprefix("module."): v for k, v in ckpt.items()}
-    return import_point_transformer(sd, variables, heads, strict=False)
+    return import_point_transformer(sd, variables, strict=False)
 
 
 def load_reference_dgcnn(path: str, variables: dict, pergroup: float = 2.0) -> dict:

@@ -401,8 +401,7 @@ class TestPointTransformerImport:
         with pytest.warns(UserWarning, match="not used by the model"):
             # DefRec pyramid (propagation_*/dgcnn_pro_*) is redesigned
             # here and intentionally unmapped
-            v = import_point_transformer(ref.state_dict(), v0,
-                                         heads=self.HEADS)
+            v = import_point_transformer(ref.state_dict(), v0)
         got = model.apply(v, jnp.asarray(x), train=False)
         np.testing.assert_allclose(np.asarray(got["cls"]), want.numpy(),
                                    rtol=1e-4, atol=1e-4)
@@ -436,13 +435,44 @@ class TestPointTransformerImport:
                                               train=False))(
             jax.random.key(0), jnp.zeros((1, self.N, 3), jnp.float32))
         with pytest.warns(UserWarning):
-            v = load_reference_point_transformer(path, v0, heads=self.HEADS)
+            v = load_reference_point_transformer(path, v0)
         # backbone transferred...
         np.testing.assert_allclose(
             np.asarray(v["params"]["reduce_dim"]["kernel"]),
             sd["reduce_dim.weight"].numpy().T)
         np.testing.assert_allclose(
             np.asarray(v["params"]["cls_token"]), sd["cls_token"].numpy())
+
+
+class TestFromTorchWiring:
+    """`checkpoint.load_model_weights(..., from_torch=True)` — the
+    eval/SPST/export CLI path — reaches the transformer-family loaders."""
+
+    def test_point_transformer_via_load_model_weights(self, tmp_path):
+        from mlsp_tpu.models.transformer import PointTransformer
+        from mlsp_tpu.train.state import create_train_state
+        from mlsp_tpu.utils import checkpoint
+
+        cfg = SimpleNamespace(
+            trans_dim=96, depth=2, drop_path_rate=0.0, cls_dim=10,
+            num_heads=4, group_size=8, num_group=16, encoder_dims=64,
+            encoder_type="Encoder", dropout=0.5, model="transformer")
+        torch.manual_seed(51)
+        ref = refM.PointTransformer(cfg)
+        path = str(tmp_path / "model.pt")
+        torch.save(ref.state_dict(), path)
+
+        model = PointTransformer(num_classes=10, trans_dim=96, depth=2,
+                                 heads=4, num_group=16, group_size=8,
+                                 encoder_dims=64, fetch_idx=(1,))
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((1, 128, 3), jnp.float32))
+        with pytest.warns(UserWarning):  # DefRec pyramid keys unmapped
+            state2 = checkpoint.load_model_weights(
+                state, path, "point_transformer", from_torch=True)
+        np.testing.assert_allclose(
+            np.asarray(state2.params["reduce_dim"]["kernel"]),
+            ref.state_dict()["reduce_dim.weight"].numpy().T)
 
 
 class TestHengshuangBlock:

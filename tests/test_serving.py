@@ -25,19 +25,21 @@ def _state_and_model(name="pointnet", heads=()):
 
 class TestServingBundle:
     def test_roundtrip_matches_live_model(self, tmp_path, rng):
+        """Batch-polymorphic (default) bundle: one artifact, any B."""
         state, model = _state_and_model("dgcnn")
         meta = serving.save_serving_bundle(
-            state, model, str(tmp_path / "b"), batch_size=B, num_points=N)
-        assert "cpu" in meta["platforms"]
+            state, model, str(tmp_path / "b"), num_points=N)
+        assert "cpu" in meta["platforms"] and meta["batch_size"] is None
 
         bundle = serving.load_serving_bundle(str(tmp_path / "b"))
-        x = (rng.standard_normal((B, N, 3)) * 0.5).astype(np.float32)
-        frozen = bundle.predict(x)
-        live = np.asarray(model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            jnp.asarray(x), train=False)["cls"])
-        np.testing.assert_allclose(frozen, live, rtol=1e-5, atol=1e-5)
-        assert frozen.shape == (B, 10)
+        for bs in (B, 2 * B + 1):
+            x = (rng.standard_normal((bs, N, 3)) * 0.5).astype(np.float32)
+            frozen = bundle.predict(x)
+            live = np.asarray(model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                jnp.asarray(x), train=False)["cls"])
+            np.testing.assert_allclose(frozen, live, rtol=1e-5, atol=1e-5)
+            assert frozen.shape == (bs, 10)
 
     def test_wrong_shape_rejected(self, tmp_path, rng):
         state, model = _state_and_model()
@@ -46,6 +48,9 @@ class TestServingBundle:
         bundle = serving.load_serving_bundle(str(tmp_path / "b"))
         with pytest.raises(ValueError, match="expects"):
             bundle.predict(np.zeros((B, N + 1, 3), np.float32))
+        with pytest.raises(ValueError, match="expects"):
+            # fixed-batch bundle rejects other batch sizes
+            bundle.predict(np.zeros((B + 1, N, 3), np.float32))
 
 class TestAotCLI:
     def test_aot_subcommand_end_to_end(self, tmp_path):
@@ -63,7 +68,7 @@ class TestAotCLI:
         ])
         assert rc == 0
         meta = json.loads((tmp_path / "bundle" / "meta.json").read_text())
-        assert meta["batch_size"] == B
+        assert meta["batch_size"] is None  # CLI exports batch-polymorphic
         bundle = serving.load_serving_bundle(str(tmp_path / "bundle"))
         out = bundle.predict(np.zeros((B, N, 3), np.float32))
         assert out.shape == (B, 10) and np.isfinite(out).all()
