@@ -242,12 +242,13 @@ def run_export(cfg: EvalConfig, io: IOStream | None = None) -> dict:
     file via `model.load_state_dict` (`train_spst.py:136-145`) with
     strict key/shape checking. Accepts a native `.ckpt` (or, with
     `--from_torch 1`, a reference `model.pt`, making this a checkpoint
-    normaliser). Supported models: dgcnn, pointnet, dgcnn_seg — the
-    three the reference can instantiate from a saved state_dict.
+    normaliser). Supported: dgcnn, pointnet, dgcnn_seg,
+    hengshuang(/-_seg) — all strict-loadable — and point_transformer
+    (backbone + cls head; torch loads strict=False, the reference's own
+    pretrained-transformer mode).
     """
     from mlsp_tpu.train.state import create_train_state
     from mlsp_tpu.utils import torch_export
-    from mlsp_tpu.utils.config import model_heads, seg_model_heads
 
     cfg = cfg.resolved()
     io = io or IOStream(cfg.out_path, cfg.exp_name)
@@ -277,26 +278,10 @@ def run_export(cfg: EvalConfig, io: IOStream | None = None) -> dict:
 
     key = jax.random.key(cfg.seed)
     sample = jnp.zeros((1, cfg.num_points, 3), jnp.float32)
-    if cfg.task == "pointsegda":
-        from mlsp_tpu.models import DGCNNSeg
-
-        model = DGCNNSeg(num_classes=cfg.num_class, dropout=cfg.dropout,
-                         density_num_cls=cfg.density_num_class,
-                         pergroup=cfg.pergroup, knn_backend=cfg.knn_backend)
-        heads = seg_model_heads(cfg.model)
-    else:
-        from mlsp_tpu.models import make_model
-
-        # Mirror _setup's dgcnn kwargs: the density head width/bins must
-        # match the checkpoint for the importer's shape checks (and the
-        # analytic fc2 bins) to line up.
-        model = make_model(
-            cfg.model, cfg.num_class, dropout=cfg.dropout,
-            **(dict(density_num_cls=cfg.density_num_class,
-                    pergroup=cfg.pergroup, knn_backend=cfg.knn_backend)
-               if cfg.model == "dgcnn" else {}),
-        )
-        heads = model_heads(cfg.model)
+    # Shared constructor: the density head width/bins must match the
+    # checkpoint for the importer's shape checks (and the analytic fc2
+    # bins) to line up.
+    model, heads = _build_model(cfg)
     state = create_train_state(model, key, sample, heads=heads)
     state = _load_weights(cfg, state, io)
 

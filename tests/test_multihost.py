@@ -17,43 +17,6 @@ import sys
 
 import pytest
 
-_WORKER = r"""
-import os, sys
-import jax
-
-proc_id = int(sys.argv[1]); coord = sys.argv[2]
-jax.config.update("jax_platforms", "cpu")
-jax.distributed.initialize(coordinator_address=coord, num_processes=2,
-                           process_id=proc_id)
-import jax.numpy as jnp
-import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
-
-from mlsp_tpu.parallel import make_mesh
-
-assert jax.process_count() == 2, jax.process_count()
-assert len(jax.devices()) == 4  # 2 local x 2 processes
-mesh = make_mesh(jax.devices(), data=4, points=1)
-
-B, D = 8, 16
-rng = np.random.default_rng(0)
-x = rng.standard_normal((B, D)).astype(np.float32)
-w = rng.standard_normal((D,)).astype(np.float32)
-
-# Global batch sharded over all 4 devices (2 per process).
-xs = jax.make_array_from_process_local_data(NamedSharding(mesh, P("data")), x[: B // 2] if proc_id == 0 else x[B // 2 :], x.shape)
-ws = jax.device_put(w, NamedSharding(mesh, P()))
-
-@jax.jit
-def gradstep(w, x):
-    # mean loss over the GLOBAL batch -> cross-process all-reduce
-    return jax.grad(lambda w: jnp.mean(jnp.tanh(x @ w) ** 2))(w)
-
-g = np.asarray(gradstep(ws, xs))  # replicated output: fetch everywhere
-want = np.asarray(jax.jit(jax.grad(lambda w: jnp.mean(jnp.tanh(jnp.asarray(x) @ w) ** 2)))(jnp.asarray(w)))
-np.testing.assert_allclose(g, want, rtol=1e-5, atol=1e-6)
-print(f"proc{proc_id} OK", flush=True)
-"""
 
 
 def _free_port():
@@ -94,14 +57,6 @@ def _run_workers(script_text, tmp_path, n_procs, local_devices, coord=None,
         out, _ = p.communicate(timeout=timeout)
         outs.append(out)
     return procs, outs
-
-
-@pytest.mark.slow
-def test_two_process_ddp(tmp_path):
-    procs, outs = _run_workers(_WORKER, tmp_path, 2, 2)
-    for i, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"proc{i} failed:\n{out}"
-        assert f"proc{i} OK" in out, out
 
 
 _WORKER_N = r"""
@@ -145,6 +100,16 @@ want = np.asarray(jax.jit(jax.grad(
 np.testing.assert_allclose(g, want, rtol=1e-5, atol=1e-6)
 print(f"proc{proc_id} OK", flush=True)
 """
+
+
+@pytest.mark.slow
+def test_two_process_ddp(tmp_path):
+    procs, outs = _run_workers(_WORKER_N, tmp_path, 2, 2)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{i} failed:\n{out}"
+        assert f"proc{i} OK" in out, out
+
+
 
 
 @pytest.mark.slow

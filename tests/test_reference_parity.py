@@ -545,24 +545,9 @@ class TestHengshuangImport:
 
     @staticmethod
     def _pin_fps(monkeypatch):
-        import PointDA.hengshuang_transformer.pointnet_util as pu
+        from torch_fixtures import pin_reference_fps
 
-        def fps0(xyz, npoint):
-            device = xyz.device
-            B, N, C = xyz.shape
-            centroids = torch.zeros(B, npoint, dtype=torch.long).to(device)
-            distance = torch.ones(B, N).to(device) * 1e10
-            farthest = torch.zeros(B, dtype=torch.long).to(device)  # start 0
-            batch_indices = torch.arange(B, dtype=torch.long)
-            for i in range(npoint):
-                centroids[:, i] = farthest
-                centroid = xyz[batch_indices, farthest, :].view(B, 1, 3)
-                dist = torch.sum((xyz - centroid) ** 2, -1)
-                distance = torch.min(distance, dist)
-                farthest = torch.max(distance, -1)[1]
-            return centroids
-
-        monkeypatch.setattr(pu, "farthest_point_sample", fps0)
+        pin_reference_fps(monkeypatch)
 
     def test_def_variant_forward(self, rng, monkeypatch):
         ref_hm = pytest.importorskip(

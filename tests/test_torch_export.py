@@ -277,24 +277,9 @@ class TestExportHengshuang:
 
     @staticmethod
     def _pin_fps(monkeypatch):
-        import PointDA.hengshuang_transformer.pointnet_util as pu
+        from torch_fixtures import pin_reference_fps
 
-        def fps0(xyz, npoint):
-            device = xyz.device
-            Bs, Ns, _ = xyz.shape
-            centroids = torch.zeros(Bs, npoint, dtype=torch.long).to(device)
-            distance = torch.ones(Bs, Ns).to(device) * 1e10
-            farthest = torch.zeros(Bs, dtype=torch.long).to(device)
-            batch_indices = torch.arange(Bs, dtype=torch.long)
-            for i in range(npoint):
-                centroids[:, i] = farthest
-                centroid = xyz[batch_indices, farthest, :].view(Bs, 1, 3)
-                dist = torch.sum((xyz - centroid) ** 2, -1)
-                distance = torch.min(distance, dist)
-                farthest = torch.max(distance, -1)[1]
-            return centroids
-
-        monkeypatch.setattr(pu, "farthest_point_sample", fps0)
+        pin_reference_fps(monkeypatch)
 
     def _cloud(self, rng):
         return rng.standard_normal((2, self.NPT, 3)).astype(np.float32)
@@ -494,3 +479,31 @@ class TestExportCLI:
             # pointnet2 has no reference state_dict to target
             run_export(EvalConfig(model="pointnet2", model_file="x.ckpt",
                                   out_path=str(tmp_path)))
+
+    def test_hengshuang_seg_export_end_to_end(self, tmp_path):
+        """Regression: the seg branch must construct the model named by
+        the config (it used to hardcode DGCNNSeg, so hengshuang_seg
+        export was dead on arrival)."""
+        from mlsp_tpu.models.hengshuang import HengshuangSeg
+        from mlsp_tpu.train.evaluation import run_export
+        from mlsp_tpu.train.state import create_train_state
+        from mlsp_tpu.utils import checkpoint
+        from mlsp_tpu.utils.config import EvalConfig
+
+        model = HengshuangSeg(num_classes=8, nblocks=2, nneighbor=8,
+                              d_model=64)
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((1, 64, 3), jnp.float32),
+            heads=("seg", "defrec"))
+        ckpt = str(tmp_path / "h.ckpt")
+        checkpoint.save_train_state(ckpt, state)
+        # NB: default nblocks=4 in run_export's model, so export with a
+        # matching full-size model would need config plumbing; here we
+        # assert the RIGHT MODEL CLASS is constructed — a structure
+        # mismatch against the checkpoint proves it reached the
+        # HengshuangSeg loader rather than silently building DGCNNSeg.
+        with pytest.raises(ValueError, match="hengshuang|structure"):
+            run_export(EvalConfig(
+                task="pointsegda", model="hengshuang_seg",
+                model_file=ckpt, out_path=str(tmp_path),
+                output=str(tmp_path / "h.pt")))
