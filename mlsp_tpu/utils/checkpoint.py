@@ -25,6 +25,26 @@ def save(path: str, tree: Any) -> None:
         f.write(serialization.to_bytes(tree))
 
 
+def _check_shapes(template: Any, restored: Any, path: str, what: str):
+    """flax `from_state_dict` matches tree STRUCTURE but silently adopts
+    leaves of any shape (a 10-class head restores into an 8-class model
+    and only fails much later, if ever). Compare every leaf against the
+    template and name all offenders at once."""
+    bad = []
+    for (kp, t), (_, r) in zip(
+            jax.tree_util.tree_leaves_with_path(template),
+            jax.tree_util.tree_leaves_with_path(restored)):
+        ts, rs = getattr(t, "shape", None), getattr(r, "shape", None)
+        if ts != rs:
+            bad.append(f"{jax.tree_util.keystr(kp)}: ckpt {rs} != model {ts}")
+    if bad:
+        raise ValueError(
+            f"checkpoint {path!r} {what} shapes do not match the model "
+            f"being restored (wrong num_class/width/model config?): "
+            + "; ".join(bad[:8])
+            + (f"; ... {len(bad) - 8} more" if len(bad) > 8 else ""))
+
+
 def load(path: str, target: Any) -> Any:
     """Restore into a pytree template of matching structure.
 
@@ -36,13 +56,15 @@ def load(path: str, target: Any) -> Any:
     with open(path, "rb") as f:
         data = f.read()
     try:
-        return serialization.from_bytes(target, data)
+        out = serialization.from_bytes(target, data)
     except (ValueError, KeyError, TypeError) as e:
         raise ValueError(
             f"checkpoint {path!r} does not match the model/optimizer "
             f"structure it is being restored into (wrong model config, "
             f"different heads, or a partial save?): {e}"
         ) from e
+    _check_shapes(target, out, path, "tree")
+    return out
 
 
 def save_train_state(path: str, state, epoch: int = 0, metrics: dict | None = None):
@@ -120,12 +142,14 @@ def load_train_state(path: str, state, with_optimizer: bool = True):
         if with_optimizer:
             kw["opt_state"] = serialization.from_state_dict(
                 state.opt_state, raw["opt_state"])
-        state = state.replace(params=params, batch_stats=bstats,
-                              step=raw["step"], **kw)
     except (ValueError, KeyError, TypeError) as e:
         raise ValueError(
             f"checkpoint {path!r} does not match the model/optimizer "
             f"structure it is being restored into (wrong model config, "
             f"different heads, or a partial save?): {e}"
         ) from e
+    _check_shapes(state.params, params, path, "param")
+    _check_shapes(state.batch_stats, bstats, path, "batch-stat")
+    state = state.replace(params=params, batch_stats=bstats,
+                          step=raw["step"], **kw)
     return state, raw.get("epoch", 0), raw.get("metrics")

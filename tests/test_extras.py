@@ -504,6 +504,31 @@ class TestEvalCLI:
                 exp_name="missing",
             ))
 
+    def test_shape_mismatch_diagnosed(self, tmp_path):
+        """Same tree structure but wrong leaf shapes (e.g. a 10-class
+        checkpoint into an 8-class model) must raise a named diagnostic —
+        flax's from_state_dict would otherwise adopt the wrong-shaped
+        arrays silently."""
+        import jax
+        import jax.numpy as jnp
+
+        from mlsp_tpu.models import make_model
+        from mlsp_tpu.train.state import create_train_state
+        from mlsp_tpu.utils import checkpoint
+
+        sample = jnp.zeros((2, 64, 3), jnp.float32)
+
+        def _state(num_class):
+            return create_train_state(
+                make_model("pointnet", num_class), jax.random.key(0),
+                sample, heads=("defrec",))
+
+        path = str(tmp_path / "ten.ckpt")
+        checkpoint.save_train_state(path, _state(10), 0, {})
+        with pytest.raises(ValueError, match="shapes do not match"):
+            checkpoint.load_train_state(path, _state(8),
+                                        with_optimizer=False)
+
 
 class TestTransformerTrainers:
     @pytest.mark.slow
