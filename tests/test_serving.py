@@ -52,6 +52,30 @@ class TestServingBundle:
             # fixed-batch bundle rejects other batch sizes
             bundle.predict(np.zeros((B + 1, N, 3), np.float32))
 
+    def test_seg_bundle_per_point_output(self, tmp_path, rng):
+        """pointsegda bundle serves [B, N, C] per-point logits that match
+        the live model."""
+        from mlsp_tpu.models import DGCNNSeg
+
+        model = DGCNNSeg(num_classes=8, knn_backend="xla")
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((1, N, 3), jnp.float32),
+            heads=("seg", "defrec", "normal", "density"))
+        meta = serving.save_serving_bundle(
+            state, model, str(tmp_path / "b"), task="pointsegda",
+            num_points=N)
+        assert meta["task"] == "pointsegda"
+
+        bundle = serving.load_serving_bundle(str(tmp_path / "b"))
+        x = (rng.standard_normal((B, N, 3)) * 0.5).astype(np.float32)
+        frozen = bundle.predict(x)
+        live = np.asarray(model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.asarray(x), train=False, heads=("seg",))["seg"])
+        np.testing.assert_allclose(frozen, live, rtol=1e-5, atol=1e-5)
+        assert frozen.shape == (B, N, 8)
+
+
 class TestAotCLI:
     def test_aot_subcommand_end_to_end(self, tmp_path):
         from mlsp_tpu.cli import main
