@@ -96,3 +96,25 @@ class TestAotCLI:
         bundle = serving.load_serving_bundle(str(tmp_path / "bundle"))
         out = bundle.predict(np.zeros((B, N, 3), np.float32))
         assert out.shape == (B, 10) and np.isfinite(out).all()
+
+    def test_aot_subcommand_seg_task(self, tmp_path):
+        from mlsp_tpu.cli import main
+        from mlsp_tpu.models import DGCNNSeg
+        from mlsp_tpu.utils import checkpoint
+
+        model = DGCNNSeg(num_classes=8, knn_backend="xla")
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((1, N, 3), jnp.float32),
+            heads=("seg", "defrec", "normal", "density"))
+        ckpt = str(tmp_path / "m.ckpt")
+        checkpoint.save_train_state(ckpt, state)
+        rc = main([
+            "aot", "--task", "pointsegda", "--model_file", ckpt,
+            "--model", "dgcnn_seg", "--num_points", str(N), "--num_class",
+            "8", "--test_batch_size", str(B), "--out_path", str(tmp_path),
+            "--exp_name", "aotseg", "--output", str(tmp_path / "bundle"),
+        ])
+        assert rc == 0
+        bundle = serving.load_serving_bundle(str(tmp_path / "bundle"))
+        out = bundle.predict(np.zeros((B, N, 3), np.float32))
+        assert out.shape == (B, N, 8) and np.isfinite(out).all()

@@ -425,6 +425,108 @@ class TestExportPointTransformer:
                                    rtol=1e-2, atol=5e-3)
 
 
+class TestSPSTSelectionParity:
+    """SPST pseudo-label selection vs the REFERENCE'S OWN code.
+
+    `train_spst.py` cannot be imported (module scope parses argv and
+    torch.load's checkpoints), so `select_target_by_conf(_v2)`
+    (`train_spst.py:239-313`) are extracted from its source with `ast`
+    and exec'd against stubbed `args`/`io`/`device` globals — the
+    literal reference loop then runs on the SAME torch model our export
+    produced, and both stacks must pick the same clouds with the same
+    pseudo-labels."""
+
+    M, BS = 26, 8  # uneven last batch on both sides
+
+    @staticmethod
+    def _ref_selectors(threshold):
+        import ast
+
+        src = open("/root/reference/PointDA/train_spst.py").read()
+        fns = [n for n in ast.parse(src).body
+               if isinstance(n, ast.FunctionDef)
+               and n.name in ("select_target_by_conf",
+                              "select_target_by_conf_v2")]
+        assert len(fns) == 2
+        ns = {
+            "torch": torch, "nn": torch.nn, "np": np,
+            "args": SimpleNamespace(threshold=threshold),
+            "io": SimpleNamespace(print_progress=lambda *a, **k: 0.0,
+                                  cprint=lambda s: None),
+            "device": torch.device("cpu"),
+        }
+        exec(compile(ast.Module(body=fns, type_ignores=[]),
+                     "<ref train_spst.py selectors>", "exec"), ns)
+        return ns
+
+    def _setup(self, tmp_path):
+        from mlsp_tpu.train.state import create_train_state
+        from mlsp_tpu.utils.logging import IOStream
+
+        model = PointNet(num_classes=10)
+        v = _perturb(_init_flax(model, ("defrec",)), 7)
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((1, N, 3), jnp.float32),
+            heads=("defrec",))
+        state = state.replace(params=v["params"],
+                              batch_stats=v["batch_stats"])
+        ref = _load_strict(refM.PointNet(_ref_args("pointnet")),
+                           export_pointnet(v))
+        rng = np.random.default_rng(11)
+        data = rng.standard_normal((self.M, N, 3)).astype(np.float32)
+        label = rng.integers(0, 10, self.M)
+        loader = [(torch.from_numpy(data[i:i + self.BS]),
+                   torch.from_numpy(label[i:i + self.BS]))
+                  for i in range(0, self.M, self.BS)]
+        io = IOStream(str(tmp_path), "sel")
+        return state, ref, data, label, loader, io
+
+    @staticmethod
+    def _gap_threshold(values):
+        """Midpoint of the widest gap in the middle of the sorted values:
+        both stacks' ~1e-5 forward noise cannot flip a sample across it,
+        and both sides of the split are nonempty."""
+        v = np.sort(values)
+        lo, hi = len(v) // 4, 3 * len(v) // 4
+        gaps = v[lo + 1:hi + 1] - v[lo:hi]
+        i = lo + int(gaps.argmax())
+        assert gaps.max() > 1e-4, f"no safe threshold gap: {gaps.max()}"
+        return float((v[i] + v[i + 1]) / 2)
+
+    @pytest.mark.parametrize("use_entropy", [True, False],
+                             ids=["entropy_v2", "max_prob"])
+    def test_same_selection_as_reference(self, tmp_path, use_entropy):
+        from mlsp_tpu.train.spst import select_pseudo_labels
+        from mlsp_tpu.utils import metrics
+
+        state, ref, data, label, loader, io = self._setup(tmp_path)
+
+        # pick the threshold in a wide gap of the decision statistic
+        with torch.no_grad():
+            conf = torch.softmax(
+                ref(_cf(data), activate_DefRec=False)["cls"], 1)
+        if use_entropy:
+            stat = -(conf * torch.log_softmax(conf, 1)).sum(1).numpy()
+        else:
+            stat = conf.max(1).values.numpy()
+        thr = self._gap_threshold(stat)
+
+        ns = self._ref_selectors(thr)
+        fn = ns["select_target_by_conf_v2" if use_entropy
+                else "select_target_by_conf"]
+        ref_pcs, ref_labels = fn(loader, ref, epoch=0)
+
+        pcs, plabels = select_pseudo_labels(
+            state, data, label, np.arange(self.M), self.BS, thr,
+            use_entropy, io, 0)
+
+        assert len(pcs) == len(ref_pcs) and 0 < len(pcs) < self.M
+        np.testing.assert_array_equal(plabels, np.asarray(ref_labels))
+        # the reference stores the selected clouds PERMUTED [3, N]
+        np.testing.assert_array_equal(
+            pcs, np.stack([p.T for p in ref_pcs]))
+
+
 class TestExportCLI:
     def test_export_subcommand_end_to_end(self, tmp_path, rng):
         """native .ckpt -> `mlsp-tpu export` -> reference strict load ->
