@@ -37,7 +37,9 @@ Roofline: the JSON line also reports
 The line also carries `eval_clouds_per_sec`: serving-mode (train=False)
 classification throughput of the same model, measured with the same
 scan+fetch protocol — the deploy-time number (no moment gathers, no
-backward scatter).
+backward scatter) — and `seg_clouds_per_sec`: the second headline
+workload, a full PointSegDA train step (dgcnn_seg @ 2048 pts, source
+seg CE + PCM-seg + target DefRec/Normal/Density viainput).
 
 Baseline for `vs_baseline`: the repo publishes no numbers (BASELINE.md);
 the north star is 5x a V100-era PyTorch estimate of 640 clouds/sec, i.e.
@@ -225,6 +227,42 @@ def main() -> None:
     float(eval_run(state.params, state.batch_stats, txs))  # compile + warm
     t_eval = _timed(eval_run, state.params, state.batch_stats, txs) / S
 
+    # Second headline workload: the PointSegDA train step (DGCNN_DefRec
+    # seg backbone, 2048 pts — `PointSegDA/trainer.py:282-437`'s inner
+    # loop: source seg CE + PCM-seg mixup + target DefRec/Normal/Density
+    # viainput), same scan+fetch protocol.
+    from mlsp_tpu.models import DGCNNSeg
+    from mlsp_tpu.train import seg_steps
+    from mlsp_tpu.utils.config import PointSegDAConfig
+
+    Bs, Ss = 16, 8
+    seg_cfg = PointSegDAConfig(
+        batch_size=Bs, synthetic=True, apply_PCM=True,
+        Density_normal_viainput=True, scan_steps=Ss,
+    ).resolved()
+    Ns = seg_cfg.num_points
+    seg_model = DGCNNSeg(num_classes=8, knn_backend="auto")
+    seg_state = create_train_state(
+        seg_model, jax.random.key(2), jnp.zeros((Bs, Ns, 3), jnp.float32),
+        epochs=seg_cfg.epochs, steps_per_epoch=100,
+        heads=("seg", "defrec", "normal", "density"),
+    )
+    seg_sxs = jnp.asarray(rng.standard_normal((Ss, Bs, Ns, 3)), jnp.float32)
+    seg_sys = jnp.asarray(rng.integers(0, 8, (Ss, Bs, Ns)))
+    seg_txs = jnp.asarray(rng.standard_normal((Ss, Bs, Ns, 3)), jnp.float32)
+    seg_state, seg_ms, _ = seg_steps.pointsegda_train_scan(
+        seg_state, seg_sxs, seg_sys, seg_txs, key, seg_cfg)
+    float(seg_ms["total"][-1])  # compile + warm
+    seg_dt = float("inf")
+    for trial in range(2):
+        t0 = time.perf_counter()
+        seg_state, seg_ms, _ = seg_steps.pointsegda_train_scan(
+            seg_state, seg_sxs, seg_sys, seg_txs,
+            jax.random.fold_in(key, 10 + trial), seg_cfg)
+        float(seg_ms["total"][-1])
+        seg_dt = min(seg_dt, time.perf_counter() - t0)
+    t_seg = seg_dt / Ss
+
     # Roofline context: achieved primitive peaks on this chip, now.
     tflops_f32 = measure_matmul_tflops(jnp.float32)
     tflops_bf16 = measure_matmul_tflops(jnp.bfloat16)
@@ -265,6 +303,8 @@ def main() -> None:
         "bound_sum_frac": round(bound_sum_frac, 3),
         "eval_clouds_per_sec": round(B / t_eval, 1),
         "t_eval_ms": round(t_eval * 1e3, 2),
+        "seg_clouds_per_sec": round(Bs / t_seg, 1),
+        "t_seg_step_ms": round(t_seg * 1e3, 2),
         "head_dtype": "bf16" if head_bf16 else "f32",
     }))
 
