@@ -145,3 +145,58 @@ class TestFuzzKernels:
         for b in range(cfg["b"]):
             want = ball_query_np(x[b], centers[b], 0.4, cap)
             assert [set(r) for r in idx[b]] == [set(r) for r in want]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS, ids=IDS)
+class TestFuzzTransforms:
+    """SSL transforms keep their invariants at every shape — including
+    clouds far too small to satisfy MIN_PTS, where the masks may select
+    few (or no) points but nothing may go non-finite."""
+
+    def test_deform_invariants(self, cfg):
+        import jax
+
+        from mlsp_tpu import transforms as T
+
+        x = _cloud(cfg)
+        key = jax.random.key(cfg["seed"])
+        out, mask = T.deform_batch(key, jnp.asarray(x))
+        out, mask = np.asarray(out), np.asarray(mask)
+        assert np.isfinite(out).all()
+        assert set(np.unique(mask)) <= {0.0, 1.0}
+        for b in range(cfg["b"]):
+            sel = mask[b] > 0
+            np.testing.assert_array_equal(out[b][~sel], x[b][~sel])
+        # the loss downstream of the (possibly empty) mask stays finite
+        loss = float(ops.reconstruction_loss(out, jnp.asarray(x),
+                                             jnp.asarray(mask)))
+        assert np.isfinite(loss)
+
+    def test_collapse_invariants(self, cfg):
+        import jax
+
+        from mlsp_tpu.transforms import deform
+
+        x = _cloud(cfg)
+        out, mask = deform.collapse_to_point_batch(
+            jax.random.key(cfg["seed"] + 1), jnp.asarray(x))
+        out, mask = np.asarray(out), np.asarray(mask)
+        assert np.isfinite(out).all()
+        for b in range(cfg["b"]):
+            sel = mask[b] > 0
+            np.testing.assert_array_equal(out[b][~sel], x[b][~sel])
+
+    def test_scan_invariants(self, cfg):
+        import jax
+
+        from mlsp_tpu import transforms as T
+
+        x = _cloud(cfg)
+        scan, mask = T.scan_batch(jax.random.key(cfg["seed"] + 2),
+                                  jnp.asarray(x))
+        scan, mask = np.asarray(scan), np.asarray(mask)
+        assert np.isfinite(scan).all()
+        for b in range(cfg["b"]):
+            kept = mask[b] == 0
+            np.testing.assert_array_equal(scan[b][kept], x[b][kept])
+            np.testing.assert_array_equal(scan[b][~kept], 0.0)
