@@ -66,7 +66,8 @@ def train_pointsegda(cfg: PointSegDAConfig, io: IOStream | None = None,
     axis applied to the O(N^2) intermediates (cf. `train_pointda`).
     """
     from mlsp_tpu.parallel import (
-        points_sharding, replicate_for_mesh, shard_batch, shard_scan_batch,
+        fetch_global, points_sharding, replicate_for_mesh, shard_batch,
+        shard_scan_batch,
     )
 
     cfg = cfg.resolved()
@@ -148,6 +149,9 @@ def train_pointsegda(cfg: PointSegDAConfig, io: IOStream | None = None,
                     state, sxs, sys_, txs, k, cfg
                 )
             meters.update(jax.device_get(ms), n=bsz)
+            # preds/mixed_y are data-sharded on a multi-process cluster:
+            # np.asarray on them would die on the non-addressable shards
+            preds, mixed_y = fetch_global(preds), fetch_global(mixed_y)
             bm, _ = metrics.seg_metrics(
                 np.asarray(mixed_y).reshape(-1, mixed_y.shape[-1]),
                 np.asarray(preds).reshape(-1, preds.shape[-1]),
@@ -166,7 +170,9 @@ def train_pointsegda(cfg: PointSegDAConfig, io: IOStream | None = None,
                     state, sx, sy, tx, k, cfg
                 )
             meters.update(jax.device_get(m), n=bs)
-            bm, _ = metrics.seg_metrics(np.asarray(mixed_y), np.asarray(preds))
+            bm, _ = metrics.seg_metrics(
+                np.asarray(fetch_global(mixed_y)),
+                np.asarray(fetch_global(preds)))
             meters.update({"src_train_mIoU": bm / bs}, n=bs)
 
         io.print_progress("Source+Target", "Trn", epoch, meters.averages())

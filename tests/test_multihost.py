@@ -182,6 +182,60 @@ def test_trainer_two_process(tmp_path):
     assert "[rank 1]" not in (tmp_path / "mh" / "run.log").read_text()
 
 
+_WORKER_SEG = r"""
+import os, sys
+import jax
+
+proc_id = int(sys.argv[1]); coord = sys.argv[2]; nprocs = int(sys.argv[3])
+jax.config.update("jax_platforms", "cpu")
+from mlsp_tpu.parallel import init_distributed, make_mesh
+init_distributed(coordinator_address=coord, num_processes=nprocs,
+                 process_id=proc_id)
+from mlsp_tpu.train import train_pointsegda
+from mlsp_tpu.utils.config import PointSegDAConfig
+
+out = os.environ["MLSP_TEST_OUT"]
+cfg = PointSegDAConfig(
+    synthetic=True, epochs=1, batch_size=4, num_points=64,
+    out_path=out, exp_name="mhseg", test_batch_size=4, scan_steps=2)
+mesh = make_mesh(jax.devices(), data=len(jax.devices()), points=1)
+state, results = train_pointsegda(cfg, mesh=mesh)
+print(f"proc{proc_id} final {results['test']['mIoU']:.6f} "
+      f"{results['test']['loss']:.6f}", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_seg_trainer_two_process(tmp_path):
+    """The PointSegDA trainer also runs unchanged on a real 2-process
+    cluster with identical replicated metrics on both ranks."""
+    coord = _free_port()
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER_SEG)
+    env = _env(2)
+    env["MLSP_TEST_OUT"] = str(tmp_path)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), coord, "2"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    finals = []
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{i} failed:\n{out}"
+        line = [l for l in out.splitlines() if f"proc{i} final" in l]
+        assert line, out
+        finals.append(line[0].split("final")[1])
+    assert finals[0] == finals[1], finals
+    # the seg trainer suffixes the exp dir with the transfer pair
+    log = tmp_path / "mhseg_adobe_faust" / "run.log"
+    assert log.exists()
+    assert "[rank 1]" not in log.read_text()
+
+
 _WORKER_DIE = r"""
 import os, sys, time
 import jax
