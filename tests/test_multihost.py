@@ -236,6 +236,61 @@ def test_seg_trainer_two_process(tmp_path):
     assert "[rank 1]" not in log.read_text()
 
 
+_WORKER_SPST = r"""
+import os, sys
+import jax
+
+proc_id = int(sys.argv[1]); coord = sys.argv[2]; nprocs = int(sys.argv[3])
+jax.config.update("jax_platforms", "cpu")
+from mlsp_tpu.parallel import init_distributed, make_mesh
+init_distributed(coordinator_address=coord, num_processes=nprocs,
+                 process_id=proc_id)
+from mlsp_tpu.train import train_pointda, train_spst
+from mlsp_tpu.utils.config import PointDAConfig, SPSTConfig
+
+out = os.environ["MLSP_TEST_OUT"]
+mesh = make_mesh(jax.devices(), data=len(jax.devices()), points=1)
+common = dict(synthetic=True, batch_size=8, num_points=64,
+              test_batch_size=8, scan_steps=2, model="pointnet",
+              out_path=out, seed=1)
+pre, _ = train_pointda(PointDAConfig(exp_name="spst_pre", epochs=1,
+                                     apply_PCM=False, **common), mesh=mesh)
+_, results = train_spst(
+    SPSTConfig(exp_name="spst_mh", epochs=1, rounds=1, model_file="",
+               threshold=10.0, **common),
+    initial_state=pre, mesh=mesh)
+print(f"proc{proc_id} final {results['final']['acc']:.6f}", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_spst_trainer_two_process(tmp_path):
+    """SPST (pretrain -> selection -> fine-tune) on a real 2-process
+    cluster: scanned selection and fine-tune steps run over the global
+    mesh, both ranks report the identical replicated result."""
+    coord = _free_port()
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER_SPST)
+    env = _env(2)
+    env["MLSP_TEST_OUT"] = str(tmp_path)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), coord, "2"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    finals = []
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{i} failed:\n{out}"
+        line = [l for l in out.splitlines() if f"proc{i} final" in l]
+        assert line, out
+        finals.append(line[0].split("final")[1])
+    assert finals[0] == finals[1], finals
+
+
 _WORKER_DIE = r"""
 import os, sys, time
 import jax
