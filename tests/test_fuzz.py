@@ -147,6 +147,34 @@ class TestFuzzKernels:
             assert [set(r) for r in idx[b]] == [set(r) for r in want]
 
 
+MODELS = ["pointnet", "dgcnn", "dgcnn_seg", "pointnet2",
+          "point_transformer", "hengshuang", "hengshuang_seg", "vit"]
+
+
+@pytest.mark.parametrize("name", MODELS)
+def test_models_handle_irregular_point_counts(name):
+    """Every model family accepts point counts far from the datasets'
+    1024/2048 (odd, small, non-tile-aligned) with finite outputs — a
+    user's own clouds need no padding to a magic size."""
+    import jax
+
+    from mlsp_tpu.models import make_model
+
+    kw = {"knn_backend": "xla"} if name != "pointnet" else {}
+    model = make_model(name, 8 if "seg" in name else 10, **kw)
+    for n in (33, 250):
+        x = jnp.asarray(
+            np.random.default_rng(n).standard_normal((2, n, 3)),
+            jnp.float32)
+        v = model.init({"params": jax.random.key(0)}, x, train=False)
+        out = model.apply(v, x, train=False)
+        assert all(np.isfinite(np.asarray(a)).all() for a in out.values())
+        if "seg" in name:
+            assert out["seg"].shape == (2, n, 8)
+        else:
+            assert out["cls"].shape == (2, 10)
+
+
 @pytest.mark.parametrize("cfg", CONFIGS, ids=IDS)
 class TestFuzzTransforms:
     """SSL transforms keep their invariants at every shape — including
