@@ -282,6 +282,63 @@ class TestConfigYaml:
         assert cfg.batch_size == 32  # untouched default passes through
 
 
+class TestSmallUtils:
+    def test_model_summary_counts(self):
+        import numpy as np
+
+        from mlsp_tpu.utils.summary import model_summary
+
+        params = {
+            "Dense_0": {"kernel": np.zeros((3, 4)), "bias": np.zeros(4)},
+            "Head": {"Dense_0": {"kernel": np.zeros((4, 2))}},
+        }
+        s = model_summary(params)
+        assert "Dense_0" in s and "16" in s  # 3*4 + 4
+        assert "Total params" in s and "24" in s  # 16 + 8
+
+    def test_download_graceful_without_network(self, tmp_path, monkeypatch):
+        import subprocess
+
+        from mlsp_tpu.data import download
+
+        def no_gdown(*a, **k):
+            raise OSError("gdown not found")
+
+        monkeypatch.setattr(subprocess, "run", no_gdown)
+        with pytest.raises(RuntimeError, match="synthetic"):
+            download.download_pointda(str(tmp_path))
+
+    def test_download_skips_existing_archive(self, tmp_path, monkeypatch):
+        import subprocess
+        import zipfile
+
+        from mlsp_tpu.data import download
+
+        # pre-place the archive: no network call may happen
+        dest = tmp_path / "PointDA_data.zip"
+        with zipfile.ZipFile(dest, "w") as z:
+            z.writestr("PointDA_data/readme.txt", "hi")
+
+        def boom(*a, **k):
+            raise AssertionError("network call despite existing archive")
+
+        monkeypatch.setattr(subprocess, "run", boom)
+        out = download.download_pointda(str(tmp_path))
+        assert (tmp_path / "PointDA_data" / "readme.txt").read_text() == "hi"
+        assert out == str(tmp_path)
+
+    def test_timed_fetch_and_scan(self):
+        import jax.numpy as jnp
+
+        from mlsp_tpu.utils.timing import timed_fetch, timed_scan
+
+        dt = timed_fetch(lambda x: x * 2.0, jnp.float32(3.0), trials=1)
+        assert dt > 0.0
+        xs = jnp.ones((4, 2), jnp.float32)
+        per_it = timed_scan(lambda x: jnp.sum(x), xs, S=4, trials=1)
+        assert per_it > 0.0
+
+
 class TestMeters:
     def test_average_meter_weighted(self):
         from mlsp_tpu.utils.average_meter import AverageMeter
