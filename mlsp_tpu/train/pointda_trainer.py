@@ -236,6 +236,11 @@ def train_pointda(cfg: PointDAConfig, io: IOStream | None = None, mesh=None):
         f"Best model found at epoch {best['epoch']}, "
         f"source val acc: {best['src_val_acc']:.4f}"
     )
+    # reference prints the best epoch's TARGET-val confusion matrix
+    # before the final test one (`trainer.py:601-602`)
+    if "conf_mat" in best:  # no epoch ever beat the 0.0 init otherwise
+        io.cprint("Best validation model confusion matrix:\n"
+                  + str(best["conf_mat"]))
     with points_sharding(mesh):
         final = evaluate(best["state"], trgt_test.data, trgt_test.label,
                          cfg.test_batch_size, cfg.num_class)

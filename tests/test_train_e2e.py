@@ -163,6 +163,10 @@ class TestTrainerLoop:
         assert results["test"]["acc"] >= 0.0
         assert (tmp_path / "t" / "model.ckpt").exists()
         assert (tmp_path / "t" / "run.log").exists()
+        # reference-parity epoch-end prints (trainer.py:598-611)
+        log = (tmp_path / "t" / "run.log").read_text()
+        assert "Best validation model confusion matrix:" in log
+        assert "Test confusion matrix:" in log
         # periodic checkpoint (save_every=1): written every epoch and
         # resumable — a resume from it continues at epoch 2 == done.
         from mlsp_tpu.utils import checkpoint
