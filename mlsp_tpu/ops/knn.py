@@ -59,6 +59,10 @@ def knn_indices(
     """
     from mlsp_tpu.parallel.mesh import active_points_mesh, note_unconstrained_trace
 
+    m = (x if y is None else y).shape[-2]
+    if k > m:
+        raise ValueError(
+            f"knn_indices: k={k} exceeds the {m} database points")
     backend = _resolve_backend(backend)
     if backend == "pallas" and y is None and x.ndim == 3:
         from mlsp_tpu.ops.pallas.knn_pallas import knn_pallas

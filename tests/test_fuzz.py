@@ -147,6 +147,12 @@ class TestFuzzKernels:
             assert [set(r) for r in idx[b]] == [set(r) for r in want]
 
 
+def test_knn_k_exceeding_points_rejected():
+    x = jnp.zeros((1, 5, 3), jnp.float32)
+    with pytest.raises(ValueError, match="k=9 exceeds the 5"):
+        ops.knn_indices(x, 9)
+
+
 MODELS = ["pointnet", "dgcnn", "dgcnn_seg", "pointnet2",
           "point_transformer", "hengshuang", "hengshuang_seg", "vit"]
 
