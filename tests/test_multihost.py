@@ -182,6 +182,64 @@ def test_trainer_two_process(tmp_path):
     assert "[rank 1]" not in (tmp_path / "mh" / "run.log").read_text()
 
 
+_WORKER_POINTS = r"""
+import os, sys
+import jax
+
+proc_id = int(sys.argv[1]); coord = sys.argv[2]; nprocs = int(sys.argv[3])
+jax.config.update("jax_platforms", "cpu")
+from mlsp_tpu.parallel import init_distributed
+init_distributed(coordinator_address=coord, num_processes=nprocs,
+                 process_id=proc_id)
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mlsp_tpu import ops
+from mlsp_tpu.parallel import make_mesh, points_sharding
+
+ndev = len(jax.devices())
+assert ndev == 4  # 2 procs x 2 local devices
+# jax.devices() orders by process, so the default reshape keeps the
+# points axis intra-process; TRANSPOSE the device grid so the points
+# axis (and the O(N^2) distance matrix sharded over it) spans the
+# PROCESS boundary: points row = one device from EACH process.
+grid = np.asarray(jax.devices()).reshape(2, 2).T.ravel()
+mesh = make_mesh(grid, data=2, points=2)
+
+B, N, k = 4, 64, 8
+rng = np.random.default_rng(0)
+x = rng.standard_normal((B, N, 3)).astype(np.float32)
+# every process holds one device of EACH data shard, so the process-
+# local portion of a P("data")-sharded array is the full array
+xs = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("data")), x, x.shape)
+
+@jax.jit
+def knn_loss(x):
+    idx = ops.knn_indices(x, k)
+    g = ops.edge_features(x, idx)
+    return jnp.sum(g * g)
+
+with points_sharding(mesh):
+    got = float(knn_loss(xs))
+want = float(jax.jit(knn_loss)(jnp.asarray(x)))
+assert abs(got - want) / abs(want) < 1e-5, (got, want)
+print(f"proc{proc_id} OK {got:.6f}", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_points_axis_across_processes(tmp_path):
+    """The points sharding axis works when it crosses a process
+    boundary: the O(N^2) distance matrix of the kNN is partitioned over
+    two processes and the result equals the single-device computation."""
+    procs, outs = _run_workers(_WORKER_POINTS, tmp_path, 2, 2)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{i} failed:\n{out}"
+        assert f"proc{i} OK" in out, out
+
+
 _WORKER_SEG = r"""
 import os, sys
 import jax
