@@ -130,6 +130,14 @@ def main(argv=None) -> int:
                     "with NO model code)")
     _add_config_args(p_aot, EvalConfig)
 
+    p_dl = sub.add_parser(
+        "download", help="fetch + extract a benchmark dataset "
+                         "(parity with the reference download scripts; "
+                         "needs network + gdown)")
+    p_dl.add_argument("--task", choices=("pointda", "pointsegda"),
+                      default="pointda")
+    p_dl.add_argument("--dataroot", default="./data")
+
     args = parser.parse_args(argv)
     enable_cache()
 
@@ -193,6 +201,12 @@ def main(argv=None) -> int:
         from mlsp_tpu.train.evaluation import run_aot_export
 
         run_aot_export(_to_config(EvalConfig, args))
+    elif args.command == "download":
+        from mlsp_tpu.data import download
+
+        fetch = (download.download_pointda if args.task == "pointda"
+                 else download.download_pointsegda)
+        print(f"dataset extracted under {fetch(args.dataroot)}")
     return 0
 
 

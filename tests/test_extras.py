@@ -327,6 +327,20 @@ class TestSmallUtils:
         assert (tmp_path / "PointDA_data" / "readme.txt").read_text() == "hi"
         assert out == str(tmp_path)
 
+    def test_download_cli_wiring(self, tmp_path, monkeypatch):
+        import zipfile
+
+        from mlsp_tpu.cli import main
+
+        dest = tmp_path / "PointSegDAdataset.zip"
+        with zipfile.ZipFile(dest, "w") as z:
+            z.writestr("PointSegDAdataset/adobe/train/0.npy", "x")
+        rc = main(["download", "--task", "pointsegda",
+                   "--dataroot", str(tmp_path)])
+        assert rc == 0
+        assert (tmp_path / "PointSegDAdataset" / "adobe" / "train"
+                / "0.npy").exists()
+
     def test_timed_fetch_and_scan(self):
         import jax.numpy as jnp
 
