@@ -425,6 +425,42 @@ class TestExportPointTransformer:
                                    rtol=1e-2, atol=5e-3)
 
 
+class TestExportedModelTrains:
+    """'Train here, deploy there' must include further TRAINING there:
+    an exported checkpoint dropped into the reference stack has to be
+    optimizable (finite grads through every mapped parameter, loss
+    decreasing), not just forward-equivalent."""
+
+    def test_torch_finetune_step_on_export(self, rng):
+        from mlsp_tpu.models import DGCNN
+        from mlsp_tpu.utils.torch_export import export_dgcnn
+
+        model = DGCNN(num_classes=10, k=20)
+        v = _perturb(_init_flax(
+            model, ("defrec", "normal", "scan", "density")), 13)
+        ref = _load_strict(refM.DGCNN(_ref_args("dgcnn")), export_dgcnn(v))
+        ref.train()
+
+        x = torch.from_numpy(
+            rng.standard_normal((B, N, 3)).astype(np.float32))
+        y = torch.from_numpy(rng.integers(0, 10, B).astype(np.int64))
+        opt = torch.optim.SGD(ref.parameters(), lr=1e-2)
+        crit = torch.nn.CrossEntropyLoss()
+        losses = []
+        for _ in range(8):
+            opt.zero_grad()
+            logits = ref(x.permute(0, 2, 1), activate_DefRec=False)
+            loss = crit(logits["cls"], y)
+            loss.backward()
+            for p in ref.parameters():
+                if p.grad is not None:
+                    assert torch.isfinite(p.grad).all()
+            opt.step()
+            losses.append(float(loss))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0], losses
+
+
 class TestSPSTSelectionParity:
     """SPST pseudo-label selection vs the REFERENCE'S OWN code.
 
