@@ -147,6 +147,37 @@ class TestFuzzKernels:
             assert [set(r) for r in idx[b]] == [set(r) for r in want]
 
 
+@pytest.mark.parametrize("b,n,k", [(1, 37, 5), (3, 101, 11)])
+def test_edgeconv_moments_equivalence_odd_shapes(b, n, k):
+    """EdgeConvM's analytic BN-through-max moments (incl. the Bessel
+    n=B*N*k correction) must match the direct EdgeConv at shapes far
+    from the tuned 1024-point case."""
+    import jax
+
+    from mlsp_tpu.models.dgcnn import EdgeConv, EdgeConvM
+    from mlsp_tpu.ops.knn import knn_indices
+
+    x = jnp.asarray(
+        np.random.default_rng(b * n).standard_normal((b, n, 3)),
+        jnp.float32)
+    idx = knn_indices(x, k)
+    a, m = EdgeConv(16), EdgeConvM(16)
+    va = a.init({"params": jax.random.key(0)}, x, idx, True)
+    pb = {"w_diff": va["params"]["w_diff"],
+          "w_center": va["params"]["w_center"],
+          "scale": va["params"]["BatchNorm_0"]["scale"],
+          "bias": va["params"]["BatchNorm_0"]["bias"]}
+    sb = {"mean": va["batch_stats"]["BatchNorm_0"]["mean"],
+          "var": va["batch_stats"]["BatchNorm_0"]["var"]}
+    oa, ma = a.apply(va, x, idx, True, mutable=["batch_stats"])
+    ob, mb = m.apply({"params": pb, "batch_stats": sb}, x, idx, True,
+                     mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(oa), np.asarray(ob), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ma["batch_stats"]["BatchNorm_0"]["var"]),
+        np.asarray(mb["batch_stats"]["var"]), atol=1e-5)
+
+
 def test_knn_k_exceeding_points_rejected():
     x = jnp.zeros((1, 5, 3), jnp.float32)
     with pytest.raises(ValueError, match="k=9 exceeds the 5"):
