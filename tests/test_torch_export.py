@@ -461,6 +461,138 @@ class TestExportedModelTrains:
         assert losses[-1] < losses[0], losses
 
 
+class TestSPSTFinetuneTrajectory:
+    """The SPST fine-tune loop vs a faithful torch replication of
+    `train_spst.py:472-501`: CE on pseudo-labeled target (spl_weight) +
+    CE on source (cls_weight), gradients accumulated across both
+    backwards into ONE Adam step, weights decaying 5e-3 per epoch and
+    torch's cyclic CosineAnnealingLR(T_max=epochs) stepping across
+    rounds. PCM off and dropout 0 make the iteration deterministic
+    (augmentation is patched to identity on our side; the reference's
+    DataLoad z-rotation is likewise bypassed), so this pins the
+    schedule/optimizer/BN composition tightly."""
+
+    B_, N_, ROUNDS, EPOCHS, ITERS = 4, 64, 2, 2, 2
+
+    def test_losses_and_params_track(self, rng, monkeypatch):
+        import mlsp_tpu.train.spst as spst_mod
+        from mlsp_tpu.models import make_model
+        from mlsp_tpu.train.state import (
+            create_train_state, set_learning_rate, torch_cosine_lr,
+        )
+        from mlsp_tpu.utils.config import SPSTConfig
+        from mlsp_tpu.utils.torch_export import export_pointnet
+        from mlsp_tpu.utils.torch_import import import_pointnet
+
+        monkeypatch.setattr(spst_mod, "random_rotate_one_axis",
+                            lambda k, x, ax: x)
+        monkeypatch.setattr(spst_mod, "augment_batch", lambda k, x: x)
+
+        model = make_model("pointnet", 10, dropout=0.0)
+        v = _perturb(jax.jit(
+            lambda r, x: model.init({"params": r}, x, train=False,
+                                    heads=("defrec",)))(
+            jax.random.key(3), jnp.zeros((1, self.N_, 3), jnp.float32)), 21)
+        state = None  # created after cfg below (lr/wd must match)
+
+        args = _ref_args("pointnet")
+        args.dropout = 0.0
+        # SGD (+momentum): the reference's own alternative optimizer
+        # (`train_spst.py:161`). Adam's sign-normalized first steps
+        # amplify the measured f32 BN-batch-stat noise into ~4% loss
+        # divergence within one epoch (cf. TestTrajectory's envelopes);
+        # SGD keeps the divergence proportional, so the whole
+        # 2-round x 2-epoch trajectory tracks tightly and a missing
+        # 5e-3 weight decay or a non-cyclic LR is visible.
+        cfg = SPSTConfig(apply_PCM=False, batch_size=self.B_,
+                         num_points=self.N_, dropout=0.0, synthetic=True,
+                         optimizer="SGD")
+        ref = _load_strict(refM.PointNet(args), export_pointnet(v))
+        ref.train()
+        opt = torch.optim.SGD(ref.parameters(), lr=cfg.lr,
+                              momentum=cfg.momentum, weight_decay=cfg.wd)
+        sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+            opt, T_max=self.EPOCHS)  # created ONCE, cyclic across rounds
+        crit = torch.nn.CrossEntropyLoss()
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((1, self.N_, 3), jnp.float32),
+            optimizer=cfg.optimizer, lr=cfg.lr, wd=cfg.wd,
+            momentum=cfg.momentum, heads=("defrec",), epoch_lr=True)
+        state = state.replace(params=v["params"],
+                              batch_stats=v["batch_stats"])
+
+        n_batches = self.ROUNDS * self.EPOCHS * self.ITERS
+        tx = rng.standard_normal(
+            (n_batches, self.B_, self.N_, 3)).astype(np.float32)
+        ty = rng.integers(0, 10, (n_batches, self.B_))
+        sx = rng.standard_normal(
+            (n_batches, self.B_, self.N_, 3)).astype(np.float32)
+        sy = rng.integers(0, 10, (n_batches, self.B_))
+
+        spl, cls_w = cfg.spl_weight, cfg.cls_weight
+        bi = 0
+        for rnd in range(self.ROUNDS):
+            for epoch in range(self.EPOCHS):
+                lr = torch_cosine_lr(cfg.lr, self.EPOCHS,
+                                     rnd * self.EPOCHS + epoch)
+                state = set_learning_rate(state, lr)
+                assert np.isclose(lr, opt.param_groups[0]["lr"], rtol=1e-6)
+                for _ in range(self.ITERS):
+                    state, m = spst_mod.spst_train_step(
+                        state, jnp.asarray(tx[bi]), jnp.asarray(ty[bi]),
+                        jnp.asarray(sx[bi]), jnp.asarray(sy[bi]),
+                        jnp.float32(spl), jnp.float32(cls_w),
+                        jax.random.key(bi), cfg)
+                    opt.zero_grad()
+                    tl = ref(_cf(tx[bi]), activate_DefRec=False)
+                    loss_t = spl * crit(tl["cls"],
+                                        torch.from_numpy(ty[bi]))
+                    loss_t.backward()
+                    sl = ref(_cf(sx[bi]), activate_DefRec=False)
+                    loss_s = cls_w * crit(sl["cls"],
+                                          torch.from_numpy(sy[bi]))
+                    loss_s.backward()
+                    opt.step()
+                    # Measured drift (this exact setup): 2.5e-4 rel in
+                    # epoch 0, ~2e-2 at epoch 1, fully decorrelated
+                    # (20-45%) from batch 4 on — global-maxpool route
+                    # flips compound per step exactly as in
+                    # TestTrajectory. Compare only while the signal
+                    # exceeds the chaos; afterwards keep stepping BOTH
+                    # stacks so the scheduler assert covers round 2.
+                    rtol = (2e-3, 2e-3, 3e-2, 6e-2)
+                    if bi < len(rtol):
+                        np.testing.assert_allclose(
+                            float(m["trgt_cls"]), float(loss_t.detach()),
+                            rtol=rtol[bi], err_msg=f"batch {bi} trgt")
+                        np.testing.assert_allclose(
+                            float(m["src_cls"]), float(loss_s.detach()),
+                            rtol=rtol[bi], err_msg=f"batch {bi} src")
+                    bi += 1
+                spl -= cfg.weight_decay_per_epoch
+                cls_w -= cfg.weight_decay_per_epoch
+                sched.step()
+
+        # Final params: equality is unobtainable past the chaos horizon
+        # (decorrelated route flips), but the UPDATE MAGNITUDE is pinned
+        # by lr/momentum — measured max |delta| 1.4e-2 after all 8 SGD
+        # steps (input-layer kernels carry the largest momentum-
+        # amplified grads); a 10x LR error or a wrong scheduler shape
+        # moves params an order of magnitude more.
+        # (running BN stats are excluded: they track the activations,
+        # which decorrelate with the routes, not the lr-bounded updates)
+        back = import_pointnet(
+            {k: p.detach() for k, p in
+             list(ref.named_parameters()) + list(ref.named_buffers())},
+            {"params": state.params, "batch_stats": state.batch_stats})
+        flat_t = jax.tree_util.tree_leaves_with_path(back["params"])
+        flat_o = jax.tree_util.tree_leaves_with_path(state.params)
+        for (kp, a), (_, b) in zip(flat_t, flat_o):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=3e-2,
+                err_msg=jax.tree_util.keystr(kp))
+
+
 class TestSPSTSelectionParity:
     """SPST pseudo-label selection vs the REFERENCE'S OWN code.
 
