@@ -465,12 +465,14 @@ class TestSPSTFinetuneTrajectory:
     """The SPST fine-tune loop vs a faithful torch replication of
     `train_spst.py:472-501`: CE on pseudo-labeled target (spl_weight) +
     CE on source (cls_weight), gradients accumulated across both
-    backwards into ONE Adam step, weights decaying 5e-3 per epoch and
-    torch's cyclic CosineAnnealingLR(T_max=epochs) stepping across
+    backwards into ONE optimizer step, weights decaying 5e-3 per epoch
+    and torch's cyclic CosineAnnealingLR(T_max=epochs) stepping across
     rounds. PCM off and dropout 0 make the iteration deterministic
     (augmentation is patched to identity on our side; the reference's
-    DataLoad z-rotation is likewise bypassed), so this pins the
-    schedule/optimizer/BN composition tightly."""
+    DataLoad z-rotation is likewise bypassed). The per-epoch LR is
+    asserted EXACTLY equal to torch's real scheduler through round 2;
+    losses track within measured-noise gates until maxpool route-flip
+    chaos takes over; final params stay in the lr/momentum envelope."""
 
     B_, N_, ROUNDS, EPOCHS, ITERS = 4, 64, 2, 2, 2
 
@@ -493,17 +495,15 @@ class TestSPSTFinetuneTrajectory:
             lambda r, x: model.init({"params": r}, x, train=False,
                                     heads=("defrec",)))(
             jax.random.key(3), jnp.zeros((1, self.N_, 3), jnp.float32)), 21)
-        state = None  # created after cfg below (lr/wd must match)
-
         args = _ref_args("pointnet")
         args.dropout = 0.0
         # SGD (+momentum): the reference's own alternative optimizer
         # (`train_spst.py:161`). Adam's sign-normalized first steps
         # amplify the measured f32 BN-batch-stat noise into ~4% loss
         # divergence within one epoch (cf. TestTrajectory's envelopes);
-        # SGD keeps the divergence proportional, so the whole
-        # 2-round x 2-epoch trajectory tracks tightly and a missing
-        # 5e-3 weight decay or a non-cyclic LR is visible.
+        # SGD keeps the divergence proportional, so the early-batch
+        # gates stay tight enough that a missing 5e-3 weight decay or a
+        # wrong LR shows directly in the weighted losses.
         cfg = SPSTConfig(apply_PCM=False, batch_size=self.B_,
                          num_points=self.N_, dropout=0.0, synthetic=True,
                          optimizer="SGD")
