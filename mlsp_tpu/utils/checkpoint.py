@@ -35,7 +35,9 @@ def _check_shapes(template: Any, restored: Any, path: str, what: str):
             jax.tree_util.tree_leaves_with_path(template),
             jax.tree_util.tree_leaves_with_path(restored)):
         ts, rs = getattr(t, "shape", None), getattr(r, "shape", None)
-        if ts != rs:
+        # Python-scalar template leaves (e.g. `step`) have no .shape and
+        # restore as 0-d arrays — not a mismatch
+        if (ts or ()) != (rs or ()):
             bad.append(f"{jax.tree_util.keystr(kp)}: ckpt {rs} != model {ts}")
     if bad:
         raise ValueError(
