@@ -11,7 +11,6 @@ momentum 0.1 -> flax momentum 0.9).
 from __future__ import annotations
 
 import typing as t
-from collections.abc import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ abstraction is built from :mod:`mlsp_tpu.ops.fps` and
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

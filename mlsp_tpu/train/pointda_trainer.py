@@ -8,7 +8,6 @@ on target. All augmentation/label generation is inside the step.
 
 from __future__ import annotations
 
-import dataclasses
 import os
 
 import jax

@@ -10,7 +10,7 @@ at `PointDA/trainer.py:103-111` / `PointSegDA/trainer.py:139-150`.
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 # Per-target density radius tables (trainer.py:103-111, seg trainer:139-150).
