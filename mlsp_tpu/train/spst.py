@@ -174,9 +174,14 @@ def train_spst(cfg: SPSTConfig, io: IOStream | None = None, initial_state=None,
     # round 2. An epoch-indexed injected LR reproduces that exactly (a
     # step-count schedule can't: SPST's per-epoch iteration count is the
     # selection size, which varies by round).
+    # The SSL heads exist only for checkpoint compatibility with the
+    # pretrain stage — the SPST loss trains cls alone
+    # (`train_spst.py:472-498`), so torch's optimizer never touches
+    # them (grad None).  untrained_heads masks our decay term to match.
     state = create_train_state(
         model, ik, sample, optimizer=cfg.optimizer, lr=cfg.lr, wd=cfg.wd,
         momentum=cfg.momentum, heads=heads, epoch_lr=True,
+        untrained_heads=heads,
     )
     if initial_state is not None:
         state = state.replace(params=initial_state.params,

@@ -21,6 +21,53 @@ class TrainState(train_state.TrainState):
     batch_stats: Any = None
 
 
+# Head name (the static `heads` tuple vocabulary) -> flax module name in
+# the params tree.  Consistent across every model family.
+HEAD_MODULES = {"defrec": "DefRec", "normal": "NormPred",
+                "scan": "RecScan", "density": "DensityCls"}
+
+
+def untrained_decay_mask(module_names):
+    """Weight-decay mask excluding the given top-level param modules.
+
+    torch optimizers skip params whose grad is None entirely — in SPST
+    fine-tune the SSL heads exist in the param tree (checkpoint
+    compatibility with the pretrain stage) but never appear in the loss
+    (`train_spst.py:472-498` trains cls only), so torch leaves them
+    byte-identical to the loaded checkpoint.  With zero grads our
+    Adam/SGD moments stay zero too; the only nonzero update would be the
+    L2 decay term, so masking `add_decayed_weights` for those modules
+    reproduces torch's skip exactly (and keeps opt_state structure
+    unchanged — the decay transform is stateless).
+    """
+    mods = frozenset(module_names)
+
+    def mask(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: getattr(path[0], "key", None) not in mods, params)
+
+    return mask
+
+
+def _decayed_weights(wd: float, decay_mask=None):
+    """`optax.add_decayed_weights`, but masking without `optax.masked`:
+    the wrapper would change the opt_state tree (MaskedState), breaking
+    checkpoint structure compatibility with unmasked states.  This
+    transform is stateless either way, so the mask lives in the update
+    rule only."""
+    if decay_mask is None:
+        return optax.add_decayed_weights(wd)
+
+    def update_fn(updates, state, params):
+        keep = decay_mask(params)
+        updates = jax.tree_util.tree_map(
+            lambda u, p, k: u + wd * p if k else u, updates, params, keep)
+        return updates, state
+
+    return optax.GradientTransformation(lambda params: optax.EmptyState(),
+                                        update_fn)
+
+
 def cosine_per_epoch(base_lr: float, epochs: int, steps_per_epoch: int):
     """lr(step) = base_lr * (1 + cos(pi * epoch/epochs)) / 2, epoch-stepped."""
 
@@ -54,7 +101,8 @@ def set_learning_rate(state, lr: float):
     return state.replace(opt_state=os_._replace(hyperparams=hp))
 
 
-def make_epoch_lr_optimizer(name: str, lr: float, wd: float, momentum: float):
+def make_epoch_lr_optimizer(name: str, lr: float, wd: float, momentum: float,
+                            decay_mask=None):
     """Optimizer whose LR is an injected hyperparameter set explicitly
     per epoch via `set_learning_rate` — for trainers whose reference
     steps a torch scheduler once per EPOCH regardless of iteration count
@@ -66,12 +114,12 @@ def make_epoch_lr_optimizer(name: str, lr: float, wd: float, momentum: float):
     def inner(learning_rate):
         if name == "SGD":
             return optax.chain(
-                optax.add_decayed_weights(wd),
+                _decayed_weights(wd, decay_mask),
                 optax.trace(decay=momentum),
                 optax.scale_by_learning_rate(learning_rate),
             )
         return optax.chain(
-            optax.add_decayed_weights(wd),
+            _decayed_weights(wd, decay_mask),
             optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
             optax.scale_by_learning_rate(learning_rate),
         )
@@ -100,6 +148,7 @@ def make_optimizer(
     scheduler: str = "cos",
     decay_epochs: int = 50,
     decay_rate: float = 0.5,
+    decay_mask=None,
 ) -> optax.GradientTransformation:
     """Optimizer + scheduler factory.
 
@@ -119,13 +168,17 @@ def make_optimizer(
     name = name.upper()
     if name == "SGD":
         return optax.chain(
-            optax.add_decayed_weights(wd),
+            _decayed_weights(wd, decay_mask),
             optax.trace(decay=momentum),
             optax.scale_by_learning_rate(sched),
         )
     if name == "ADAMW":
         def no_decay_mask(params):
-            return jax.tree_util.tree_map(lambda p: p.ndim > 1, params)
+            nd = jax.tree_util.tree_map(lambda p: p.ndim > 1, params)
+            if decay_mask is None:
+                return nd
+            return jax.tree_util.tree_map(lambda a, b: a and b,
+                                          nd, decay_mask(params))
 
         return optax.chain(
             optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
@@ -133,7 +186,7 @@ def make_optimizer(
             optax.scale_by_learning_rate(sched),
         )
     return optax.chain(
-        optax.add_decayed_weights(wd),
+        _decayed_weights(wd, decay_mask),
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
         optax.scale_by_learning_rate(sched),
     )
@@ -152,6 +205,7 @@ def create_train_state(
     steps_per_epoch: int = 100,
     heads: tuple[str, ...] = (),
     epoch_lr: bool = False,
+    untrained_heads: tuple[str, ...] = (),
 ) -> TrainState:
     # Jit the init: eager init dispatches every layer op individually,
     # which is pathologically slow through a remote-TPU relay.
@@ -159,10 +213,17 @@ def create_train_state(
         lambda r, x: model.init({"params": r}, x, train=False, heads=heads)
     )
     variables = init_fn(rng, sample_input)
+    # Heads present in the tree but absent from the loss recipe get
+    # grad None in torch (optimizer skips them wholesale); mask our
+    # decay term so they stay frozen too (see untrained_decay_mask).
+    decay_mask = (untrained_decay_mask(HEAD_MODULES[h] for h in untrained_heads)
+                  if untrained_heads else None)
     if epoch_lr:
-        tx = make_epoch_lr_optimizer(optimizer, lr, wd, momentum)
+        tx = make_epoch_lr_optimizer(optimizer, lr, wd, momentum,
+                                     decay_mask=decay_mask)
     else:
-        tx = make_optimizer(optimizer, lr, wd, momentum, epochs, steps_per_epoch)
+        tx = make_optimizer(optimizer, lr, wd, momentum, epochs,
+                            steps_per_epoch, decay_mask=decay_mask)
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],

@@ -152,6 +152,66 @@ class TestSPST:
             assert len(pcs) == 16
 
 
+class TestUntrainedHeadFreeze:
+    def test_ssl_heads_frozen_in_finetune(self):
+        """torch-parity: the SPST fine-tune loss never touches the SSL
+        heads, so torch's optimizer sees grad None and skips them — the
+        loaded head params stay byte-identical across fine-tuning
+        (`train_spst.py:472-498`).  Our decay mask must reproduce that
+        (an unmasked `add_decayed_weights` would shrink them every
+        step), WITHOUT changing the opt_state tree (checkpoint
+        structure compatibility)."""
+        from mlsp_tpu.models import make_model
+        from mlsp_tpu.train.spst import spst_train_step
+        from mlsp_tpu.utils.config import SPSTConfig
+
+        cfg = SPSTConfig(synthetic=True, batch_size=B, num_points=N,
+                         model="dgcnn")
+        model = make_model("dgcnn", 10, k=8)
+        sample = jnp.zeros((B, N, 3), jnp.float32)
+        heads = ("defrec", "normal", "scan", "density")
+        kwargs = dict(optimizer=cfg.optimizer, lr=cfg.lr, wd=cfg.wd,
+                      momentum=cfg.momentum, heads=heads, epoch_lr=True)
+        state = create_train_state(model, jax.random.key(0), sample,
+                                   untrained_heads=heads, **kwargs)
+        unmasked = create_train_state(model, jax.random.key(0), sample,
+                                      **kwargs)
+        assert (jax.tree_util.tree_structure(state.opt_state)
+                == jax.tree_util.tree_structure(unmasked.opt_state))
+
+        rng = np.random.default_rng(3)
+        t_x = jnp.asarray(rng.normal(size=(B, N, 3)), jnp.float32)
+        s_x = jnp.asarray(rng.normal(size=(B, N, 3)), jnp.float32)
+        t_y = jnp.asarray(rng.integers(0, 10, B))
+        s_y = jnp.asarray(rng.integers(0, 10, B))
+        head_mods = ("DefRec", "NormPred", "RecScan", "DensityCls")
+        before = {m: jax.tree_util.tree_map(np.asarray, state.params[m])
+                  for m in head_mods}
+        for i in range(3):
+            state, _ = spst_train_step(state, t_x, t_y, s_x, s_y, 1.0, 1.0,
+                                       jax.random.key(i), cfg)
+            unmasked, _ = spst_train_step(unmasked, t_x, t_y, s_x, s_y, 1.0,
+                                          1.0, jax.random.key(i), cfg)
+        for m in head_mods:
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
+                before[m], state.params[m])
+        # the old behaviour really did move them (decay), and the trained
+        # modules are bit-identical either way
+        deltas = [np.abs(np.asarray(a) - b).max()
+                  for m in head_mods
+                  for a, b in zip(jax.tree_util.tree_leaves(unmasked.params[m]),
+                                  jax.tree_util.tree_leaves(before[m]))]
+        assert max(deltas) > 0
+        for m in state.params:
+            if m in head_mods:
+                continue
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b)),
+                state.params[m], unmasked.params[m])
+
+
 class TestCLI:
     def test_cli_help_and_tiny_run(self, tmp_path, capsys):
         from mlsp_tpu.cli import main
