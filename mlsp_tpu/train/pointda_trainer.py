@@ -100,13 +100,18 @@ def train_pointda(cfg: PointDAConfig, io: IOStream | None = None, mesh=None):
     )
     sample = jnp.zeros((cfg.batch_size, cfg.num_points, 3), jnp.float32)
     key, init_key = jax.random.split(key)
-    from mlsp_tpu.utils.config import validate_heads
+    from mlsp_tpu.utils.config import trained_heads, validate_heads
 
     all_heads = validate_heads(cfg)
+    # Heads outside the recipe's loss get grad None in torch and are
+    # skipped by its optimizer (`PointDA/trainer.py:571`) — freeze them
+    # (decay mask) so they stay byte-identical here too.
+    trained = trained_heads(cfg)
     state = create_train_state(
         model, init_key, sample,
         optimizer=cfg.optimizer, lr=cfg.lr, wd=cfg.wd, momentum=cfg.momentum,
         epochs=cfg.epochs, steps_per_epoch=steps_per_epoch, heads=all_heads,
+        untrained_heads=tuple(h for h in all_heads if h not in trained),
     )
 
     state = replicate_for_mesh(mesh, state, cfg.batch_size)

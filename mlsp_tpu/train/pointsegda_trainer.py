@@ -104,10 +104,17 @@ def train_pointsegda(cfg: PointSegDAConfig, io: IOStream | None = None,
     sample = jnp.zeros((bsz, N, 3), jnp.float32)
     key, ik = jax.random.split(key)
     base_key = key
+    # torch grad-None parity: freeze heads the recipe's loss never reads
+    # (cf. pointda_trainer; `PointSegDA/trainer.py:437` steps only what
+    # got grads).
+    from mlsp_tpu.utils.config import trained_seg_heads
+
+    trained = trained_seg_heads(cfg)
     state = create_train_state(
         model, ik, sample, optimizer=cfg.optimizer, lr=cfg.lr, wd=cfg.wd,
         momentum=cfg.momentum, epochs=cfg.epochs, steps_per_epoch=steps_per_epoch,
         heads=all_heads,
+        untrained_heads=tuple(h for h in all_heads if h not in trained),
     )
 
     from mlsp_tpu.utils.summary import model_summary

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from mlsp_tpu import losses as L
 from mlsp_tpu import ops
 from mlsp_tpu import transforms as T
-from mlsp_tpu.train.steps import _apply, augment_batch, pcm_mix_segmentation
+from mlsp_tpu.train.steps import (_apply, augment_batch, deform_dispatch,
+                                  pcm_mix_segmentation)
 
 
 def seg_cross_entropy(logits, labels):
@@ -53,7 +54,7 @@ def _seg_step_inner(state, src_x, src_y, trgt_x, key, cfg):
 
         # ---- target SSL ----
         if cfg.DefRec_on_trgt:
-            dx, mask = T.deform_batch(keys[4], trgt_x, cfg.num_regions)
+            dx, mask = deform_dispatch(keys[4], trgt_x, cfg)
             if debug_aux:
                 m.update(aux_dx=dx, aux_dmask=mask)
             logits, bstats = _apply(state, params, bstats, dx, ("defrec",), keys[5])
@@ -92,7 +93,7 @@ def _seg_step_inner(state, src_x, src_y, trgt_x, key, cfg):
                 trgt_x, cfg.density_radius, cfg.density_num_class,
                 cfg.pergroup, cfg.shift,
             )
-            dx, mask = T.deform_batch(keys[8], trgt_x, cfg.num_regions)
+            dx, mask = deform_dispatch(keys[8], trgt_x, cfg)
             logits, bstats = _apply(
                 state, params, bstats, dx, ("defrec", "normal", "density"), keys[9]
             )

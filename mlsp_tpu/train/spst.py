@@ -220,7 +220,23 @@ def train_spst(cfg: SPSTConfig, io: IOStream | None = None, initial_state=None,
                 io, rnd,
             )
         if len(pcs) < cfg.batch_size:
-            io.cprint(f"round {rnd}: only {len(pcs)} confident samples; skipping")
+            # Degenerate round (selection smaller than one drop_last
+            # batch). The reference still enters its epoch loop, decays
+            # spl/cls and steps the scheduler once with zero batches,
+            # then CRASHES on the 0-count loss division
+            # (`train_spst.py:493-505`). We survive instead: apply the
+            # per-epoch weight decay the epoch loop would have (all
+            # cfg.epochs of it) and move to the next selection round.
+            # The LR needs no bookkeeping — `torch_cosine_lr` is indexed
+            # by the global epoch `rnd*epochs+epoch`, so later rounds
+            # already see the advanced schedule. Weights are what the
+            # epoch loop mutates, so only they must advance here.
+            # Documented in PARITY.md (SPST degenerate rounds).
+            io.cprint(f"round {rnd}: only {len(pcs)} confident samples "
+                      f"(< batch_size {cfg.batch_size}); skipping train "
+                      f"steps, advancing spl/cls weight decay")
+            spl_weight -= cfg.weight_decay_per_epoch * cfg.epochs
+            cls_weight -= cfg.weight_decay_per_epoch * cfg.epochs
             continue
         for epoch in range(cfg.epochs):
             lr = torch_cosine_lr(cfg.lr, cfg.epochs, rnd * cfg.epochs + epoch)
@@ -320,4 +336,5 @@ def train_spst(cfg: SPSTConfig, io: IOStream | None = None, initial_state=None,
                          cfg.test_batch_size, cfg.num_class)
     io.cprint(f"target test accuracy: {final['acc']:.4f}")
     return best["state"], {"initial": initial, "final": final,
+                           "spl_weight": spl_weight, "cls_weight": cls_weight,
                            "best": {k_: v for k_, v in best.items() if k_ != "state"}}

@@ -27,6 +27,43 @@ HEAD_MODULES = {"defrec": "DefRec", "normal": "NormPred",
                 "scan": "RecScan", "density": "DensityCls"}
 
 
+def head_exclusive_modules(model, sample_input, heads, untrained_heads):
+    """Top-level param modules owned EXCLUSIVELY by `untrained_heads`.
+
+    Derived from the model itself, not a name table: the abstract param
+    tree (`jax.eval_shape`, no compute) is built once with all `heads`
+    and once without the untrained ones — the difference is exactly the
+    modules only those heads instantiate. This catches head-private
+    auto-named submodules a static table misses (hengshuang's defrec
+    branch owns an `UpDecoder_0`; the seg variant's decoder is shared
+    with the always-trained seg head and correctly stays out), and it
+    fails loudly on drift: if an expected head module doesn't drop out
+    of the tree, the freeze would silently not happen, so we raise.
+    """
+    unknown = set(untrained_heads) - set(heads)
+    if unknown:
+        raise ValueError(f"untrained heads {sorted(unknown)} not in the "
+                         f"model's head tuple {heads}")
+    rng = jax.random.key(0)
+
+    def top(active):
+        v = jax.eval_shape(
+            lambda r, x: model.init({"params": r}, x, train=False,
+                                    heads=active), rng, sample_input)
+        return set(v["params"])
+
+    trained = tuple(h for h in heads if h not in untrained_heads)
+    exclusive = top(tuple(heads)) - top(trained)
+    expected = {HEAD_MODULES[h] for h in untrained_heads if h in HEAD_MODULES}
+    missing = expected - exclusive
+    if missing:
+        raise ValueError(
+            f"head modules {sorted(missing)} did not drop out of the param "
+            f"tree when heads {sorted(untrained_heads)} were removed — the "
+            f"freeze mask would silently miss them (model/head-name drift?)")
+    return exclusive
+
+
 def untrained_decay_mask(module_names):
     """Weight-decay mask excluding the given top-level param modules.
 
@@ -216,8 +253,15 @@ def create_train_state(
     # Heads present in the tree but absent from the loss recipe get
     # grad None in torch (optimizer skips them wholesale); mask our
     # decay term so they stay frozen too (see untrained_decay_mask).
-    decay_mask = (untrained_decay_mask(HEAD_MODULES[h] for h in untrained_heads)
-                  if untrained_heads else None)
+    decay_mask = None
+    if untrained_heads:
+        mods = head_exclusive_modules(model, sample_input, heads,
+                                      untrained_heads)
+        absent = mods - set(variables["params"])
+        if absent:  # drift guard: a mask over missing names is a no-op
+            raise ValueError(f"frozen-head modules {sorted(absent)} not in "
+                             f"the initialized params tree")
+        decay_mask = untrained_decay_mask(mods)
     if epoch_lr:
         tx = make_epoch_lr_optimizer(optimizer, lr, wd, momentum,
                                      decay_mask=decay_mask)

@@ -44,6 +44,17 @@ def augment_batch(key, x):
     return T.jitter(kj, T.random_rotate_one_axis(kr, x, "z"))
 
 
+def deform_dispatch(key, x, cfg):
+    """`DefRec_dist` dispatch (`MLSP/mlsp.py:33-46`): every reference
+    deform call routes through `deform_input`, which collapses a radius
+    neighbourhood (`pc_utils.collapse_to_point`) when the flag is
+    'volume_based_radius' and a populated voxel otherwise. cfg is a
+    static jit argument, so each value compiles only its own branch."""
+    if cfg.DefRec_dist == "volume_based_radius":
+        return T.collapse_to_point_batch(key, x)
+    return T.deform_batch(key, x, cfg.num_regions)
+
+
 def pcm_mix(key, x, y, mixup_params: float):
     """PCM mixup on device (`MLSP/PCM.py:6-38`).
 
@@ -144,7 +155,7 @@ def _pointda_grads_inner(state, src_x, src_y, trgt_x, key, cfg):
 
         # ---- source supervised ----
         if cfg.DefRec_on_src:
-            dx, mask = T.deform_batch(keys[2], src_x, cfg.num_regions)
+            dx, mask = deform_dispatch(keys[2], src_x, cfg)
             logits, bstats = _apply(state, params, bstats, dx, ("defrec",), keys[3])
             l = L.defrec_loss(logits["defrec"], src_x, mask, cfg.DefRec_weight)
             m["src_DefRec"] = l
@@ -169,7 +180,7 @@ def _pointda_grads_inner(state, src_x, src_y, trgt_x, key, cfg):
             dvec, dval = ops.density_labels(
                 src_x, cfg.radius, cfg.density_num_class, cfg.pergroup
             )
-            dx, mask = T.deform_batch(keys[6], src_x, cfg.num_regions)
+            dx, mask = deform_dispatch(keys[6], src_x, cfg)
             logits, bstats = _apply(
                 state, params, bstats, dx, ("defrec", "normal", "density"), keys[7]
             )
@@ -179,7 +190,7 @@ def _pointda_grads_inner(state, src_x, src_y, trgt_x, key, cfg):
 
         # ---- target self-supervised ----
         if cfg.DefRec_on_trgt:
-            dx, mask = T.deform_batch(keys[8], trgt_x, cfg.num_regions)
+            dx, mask = deform_dispatch(keys[8], trgt_x, cfg)
             logits, bstats = _apply(state, params, bstats, dx, ("defrec",), keys[9])
             l = L.defrec_loss(logits["defrec"], trgt_x, mask, cfg.DefRec_weight)
             m["trgt_DefRec"] = l
@@ -221,7 +232,7 @@ def _pointda_grads_inner(state, src_x, src_y, trgt_x, key, cfg):
             dvec, dval = ops.density_labels(
                 trgt_x, cfg.radius, cfg.density_num_class, cfg.pergroup
             )
-            dx, mask = T.deform_batch(keys[14], trgt_x, cfg.num_regions)
+            dx, mask = deform_dispatch(keys[14], trgt_x, cfg)
             if debug_aux:
                 # through the has_aux output (a closure write would leak
                 # tracers out of the grad trace)
@@ -242,7 +253,7 @@ def _pointda_grads_inner(state, src_x, src_y, trgt_x, key, cfg):
             dvec, dval = ops.density_labels(
                 trgt_x, cfg.radius, cfg.density_num_class, cfg.pergroup
             )
-            dx, mask = T.deform_batch(keys[14], trgt_x, cfg.num_regions)
+            dx, mask = deform_dispatch(keys[14], trgt_x, cfg)
             logits, bstats = _apply(
                 state, params, bstats, dx, ("defrec", "normal", "density"), keys[15]
             )

@@ -17,6 +17,7 @@ from mlsp_tpu.transforms.augment import (
 from mlsp_tpu.transforms.deform import (
     region_means,
     assign_regions,
+    collapse_to_point_batch,
     deform_batch,
 )
 from mlsp_tpu.transforms.scan import scan_batch
@@ -32,5 +33,6 @@ __all__ = [
     "region_means",
     "assign_regions",
     "deform_batch",
+    "collapse_to_point_batch",
     "scan_batch",
 ]

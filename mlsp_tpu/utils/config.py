@@ -190,6 +190,11 @@ class PointSegDAConfig:
 
     DefRec_dist: str = "volume_based_voxels"
     num_regions: int = 3
+    # DEAD FLAG, kept for argparse-surface parity: the reference's own
+    # --min_pts (`PointSegDA/trainer.py:112`) is never read either —
+    # `mlsp.deform_input` hardcodes min_pts=40 (`MLSP/mlsp.py:27`), and
+    # so does our `transforms.deform.MIN_PTS`. Changing this field has
+    # no effect, exactly like the reference.
     min_pts: int = 20
     apply_PCM: bool = False
     mixup_params: float = 1.0
@@ -292,6 +297,46 @@ def seg_model_heads(model: str) -> tuple[str, ...]:
         ("seg", "defrec", "normal", "density") if model == "dgcnn_seg"
         else ("seg", "defrec")
     )
+
+
+def trained_heads(cfg) -> tuple[str, ...]:
+    """PointDA heads that actually receive gradients under the recipe —
+    i.e. some loss term reads their output.
+
+    torch optimizers skip grad-None params wholesale
+    (`PointDA/trainer.py:571` only steps what got grads), so heads
+    outside this set stay byte-identical to init even though the
+    combined branches *forward* through them (a forwarded-but-lossless
+    head still gets grad None in torch; only its BN running stats move).
+    The trainers freeze the complement via
+    `create_train_state(untrained_heads=...)`.
+    """
+    combined = (cfg.Density_normal_viainput or cfg.Density_normal_viachamfer
+                or cfg.Density_normal_viainput_onsrc)
+    t = set()
+    if cfg.DefRec_on_src or cfg.DefRec_on_trgt or combined:
+        t.add("defrec")
+    if cfg.Norm_on_trgt or (combined and cfg.Normal_ondef):
+        t.add("normal")
+    if cfg.Scan_on_trgt:
+        t.add("scan")
+    if cfg.Density_on_trgt or (combined and cfg.Density_ondef):
+        t.add("density")
+    return tuple(h for h in model_heads(cfg.model) if h in t)
+
+
+def trained_seg_heads(cfg) -> tuple[str, ...]:
+    """PointSegDA heads with gradients under the recipe (cf.
+    `trained_heads`); seg CE always trains the seg head
+    (`PointSegDA/trainer.py:311-323`)."""
+    t = {"seg"}
+    if cfg.DefRec_on_trgt or cfg.Density_normal_viainput:
+        t.add("defrec")
+    if cfg.Norm_on_trgt or (cfg.Density_normal_viainput and cfg.Normal_ondef):
+        t.add("normal")
+    if cfg.Density_on_trgt or (cfg.Density_normal_viainput and cfg.Density_ondef):
+        t.add("density")
+    return tuple(h for h in seg_model_heads(cfg.model) if h in t)
 
 
 def validate_seg_heads(cfg) -> tuple[str, ...]:

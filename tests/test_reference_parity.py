@@ -274,6 +274,95 @@ def _init_flax(model, heads, N=64):
     )(jax.random.key(0), jnp.zeros((1, N, 3), jnp.float32))
 
 
+class TestCollapseToPoint:
+    """`volume_based_radius` deformation vs the reference's own
+    `pc_utils.collapse_to_point` (dispatched by `MLSP/mlsp.py:33-35`).
+
+    The reference picks uniformly (`np.random.choice`) among points with
+    >= MIN_POINTS neighbours within RADIUS and collapses that
+    neighbourhood to a gaussian blob (cov 0.001*I) around the point.
+    """
+
+    def _cloud(self, rng, N):
+        x = rng.standard_normal((N, 3)).astype(np.float32)
+        x -= x.mean(0)
+        return x / np.linalg.norm(x, axis=-1).max()
+
+    def test_mask_matches_reference(self, rng):
+        from mlsp_tpu.ops.pairwise import self_sqdist
+        from mlsp_tpu.transforms import deform
+
+        N = 128
+        for seed in range(4):
+            x = self._cloud(rng, N)
+            within = np.asarray(self_sqdist(jnp.asarray(x[None])))[0] <= deform.RADIUS**2
+            eligible = np.flatnonzero(within.sum(-1) >= deform.RADIUS_MIN_POINTS)
+            assert len(eligible) >= 2, "fixture degenerate"
+
+            # The reference's only np.random call before the pick is the
+            # pick itself, so seeding lets us predict it FROM OUR OWN
+            # eligibility set: if the two implementations' eligible sets
+            # differed, the replayed choice would (a.s.) name a different
+            # centre and the replaced-set equality below would fail.
+            np.random.seed(seed)
+            pick = np.random.choice(eligible)
+
+            np.random.seed(seed)
+            tx = torch.from_numpy(x.T.copy())
+            out_t, idx_t = ref_pc_utils.collapse_to_point(tx, "cpu")
+            replaced = np.zeros(N, bool)
+            replaced[idx_t.numpy()] = True
+            np.testing.assert_array_equal(
+                replaced, within[pick],
+                err_msg="reference replaced-set != our neighbourhood mask")
+
+            # blob statistics: gaussian around the ORIGINAL picked point
+            blob = out_t.numpy().T[replaced] - x[pick]
+            n = replaced.sum()
+            assert np.abs(blob.mean(0)).max() < 5 * deform.GAUSS_STD / np.sqrt(n)
+            assert abs(blob.std() / deform.GAUSS_STD - 1.0) < 0.4
+
+    def test_pick_uniform_and_blob_ours(self, rng):
+        """Our side: every draw collapses the neighbourhood of an
+        eligible point, the centre is ~uniform over the eligible set
+        (matching `np.random.choice`), and the blob is the same
+        gaussian."""
+        from mlsp_tpu.ops.pairwise import self_sqdist
+        from mlsp_tpu.transforms import deform
+
+        N, DRAWS = 96, 150
+        x = self._cloud(rng, N)
+        within = np.asarray(self_sqdist(jnp.asarray(x[None])))[0] <= deform.RADIUS**2
+        eligible = np.flatnonzero(within.sum(-1) >= deform.RADIUS_MIN_POINTS)
+        K = len(eligible)
+        assert K >= 2
+
+        xb = jnp.asarray(np.repeat(x[None], 2, 0))  # batched entry point
+        counts = np.zeros(N)
+        blobs = []
+        for d in range(DRAWS // 2):
+            out, mask = deform.collapse_to_point_batch(jax.random.key(d), xb)
+            out, mask = np.asarray(out), np.asarray(mask) > 0
+            for b in range(2):
+                # the centre is the unique eligible point whose
+                # neighbourhood row equals the mask
+                cands = [p for p in eligible
+                         if np.array_equal(mask[b], within[p])]
+                assert cands, "mask is not an eligible neighbourhood"
+                counts[cands[0]] += 1
+                blobs.append(out[b][mask[b]] - x[cands[0]])
+                np.testing.assert_array_equal(out[b][~mask[b]], x[~mask[b]])
+        assert counts[np.setdiff1d(np.arange(N), eligible)].sum() == 0
+        # uniformity over the eligible set: each frequency within 4
+        # sigma of 1/K (binomial)
+        p = 1.0 / K
+        sig = np.sqrt(p * (1 - p) / DRAWS)
+        assert np.abs(counts[eligible] / DRAWS - p).max() < 4 * sig + 0.02
+        blob = np.concatenate(blobs)
+        assert np.abs(blob.mean(0)).max() < 5 * deform.GAUSS_STD / np.sqrt(len(blob))
+        assert abs(blob.std() / deform.GAUSS_STD - 1.0) < 0.1
+
+
 class TestForwardEquivalence:
     """Full forward equality vs the reference's own torch modules through a
     state_dict import — the strongest offline accuracy-parity evidence."""
@@ -868,10 +957,15 @@ class TestTrajectory:
         torch.manual_seed(11)
         tmodel = refM.DGCNN(targs).train()
         model = DGCNN(num_classes=10, k=20, dropout=0.0, knn_backend="xla")
+        # untrained_heads mirrors the production trainer (config.
+        # trained_heads): scan is outside this recipe's loss, so torch's
+        # optimizer never touches it (grad None) and ours freezes its
+        # decay — asserted byte-identical at the end.
         state = create_train_state(
             model, jax.random.key(0), jnp.zeros((B, N, 3), jnp.float32),
             optimizer="ADAM", lr=cfg.lr, wd=cfg.wd, epochs=self.EPOCHS,
-            steps_per_epoch=self.ITERS, heads=heads)
+            steps_per_epoch=self.ITERS, heads=heads,
+            untrained_heads=("scan",))
         v = import_dgcnn(tmodel.state_dict(), {
             "params": state.params, "batch_stats": state.batch_stats})
         state = state.replace(params=v["params"],
@@ -1056,9 +1150,12 @@ class TestTrajectory:
             if k_.endswith("num_batches_tracked"):
                 continue
             if k_.startswith("Rec_scan."):
-                # Unused-head delta: torch skips grad-None params, our
-                # optimizer weight-decays the zero-grad RecScan head
-                # (documented in PARITY.md) — excluded from tracking.
+                # Recipe-unused head: torch skips grad-None params; with
+                # untrained_heads=("scan",) ours masks the decay too, so
+                # the head must stay BYTE-identical on both sides.
+                np.testing.assert_array_equal(
+                    np.asarray(sd_ours[k_]), tv.numpy(),
+                    err_msg=f"frozen head param {k_} moved")
                 continue
             a, b = np.asarray(sd_ours[k_], np.float64), tv.numpy().astype(np.float64)
             scale = max(np.abs(b).max(), 1e-3)
@@ -1113,10 +1210,13 @@ class TestTrajectory:
         heads = ("seg", "defrec", "normal", "density")
         model = DGCNNSeg(num_classes=8, k=20, dropout=0.0, pergroup=5.0,
                          knn_backend="xla")
+        # normal/density are outside this recipe's loss — frozen, like
+        # the production seg trainer (config.trained_seg_heads).
         state = create_train_state(
             model, jax.random.key(0), jnp.zeros((B, N, 3), jnp.float32),
             optimizer="ADAM", lr=cfg.lr, wd=cfg.wd, epochs=EPOCHS,
-            steps_per_epoch=ITERS, heads=heads)
+            steps_per_epoch=ITERS, heads=heads,
+            untrained_heads=("normal", "density"))
         v = import_dgcnn_seg(tmodel.state_dict(), {
             "params": state.params, "batch_stats": state.batch_stats},
             pergroup=5.0)
@@ -1177,8 +1277,13 @@ class TestTrajectory:
             if k_.endswith("num_batches_tracked"):
                 continue
             if k_.startswith(("Norm_pred.", "Density_cls.")):
-                continue  # heads unused by this recipe (torch: grad-None
-                # skip; ours: zero-grad weight decay — documented delta)
+                # Recipe-unused heads: frozen on both sides (torch
+                # grad-None skip / our untrained_heads decay mask) —
+                # must stay byte-identical.
+                np.testing.assert_array_equal(
+                    np.asarray(sd_ours[k_]), tv.numpy(),
+                    err_msg=f"frozen head param {k_} moved")
+                continue
             if k_.startswith("shared_layers.conv") and not k_.startswith(
                     "shared_layers.conv6"):
                 # LinearEdgeBlock double-convs export through a pinv

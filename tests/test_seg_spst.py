@@ -58,6 +58,29 @@ class TestSegStep:
                      "trgt_def_density_cls"):
             assert np.isfinite(float(m[name])), name
 
+    def test_radius_deform_dispatch(self, setup):
+        """`--DefRec_dist volume_based_radius` reaches the seg step's
+        deform sites (`PointSegDA/trainer.py:332,400` pass the flag)."""
+        from mlsp_tpu import transforms as T
+
+        state, sx, sy, tx = setup
+        key = jax.random.key(4)
+        cfg = seg_cfg(DefRec_on_trgt=True, debug_aux=True,
+                      DefRec_dist="volume_based_radius")
+        _, m, _ = seg_steps.pointsegda_train_step(
+            state, jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(tx),
+            key, cfg,
+        )
+        assert np.isfinite(float(m["total"]))
+        # the DefRec_on_trgt branch deforms with keys[4] of the 12-way split
+        keys = jax.random.split(key, 12)
+        want_dx, want_mask = T.collapse_to_point_batch(
+            keys[4], jnp.asarray(m["aux_trgt"]))
+        np.testing.assert_array_equal(np.asarray(m["aux_dmask"]),
+                                      np.asarray(want_mask))
+        np.testing.assert_allclose(np.asarray(m["aux_dx"]),
+                                   np.asarray(want_dx), atol=1e-6)
+
     def test_trainer_loop(self, tmp_path):
         from mlsp_tpu.train import train_pointsegda
 
@@ -122,6 +145,43 @@ class TestSPST:
             f"SPST did not improve target accuracy: "
             f"{results['initial']['acc']:.4f} -> {results['final']['acc']:.4f}"
         )
+
+    def test_degenerate_round_advances_weight_decay(self, tmp_path):
+        """Selection smaller than one drop_last batch: the reference's
+        epoch loop would decay spl/cls and step the scheduler, then
+        crash on the 0-count division (`train_spst.py:493-505`). We
+        survive, skip the train steps, and advance the full per-epoch
+        weight decay for the round (PARITY.md: SPST degenerate rounds).
+        Covers both selection==0 (threshold 0 under entropy) and
+        0 < selection < batch_size (batch bigger than the selected set).
+        """
+        from mlsp_tpu.train import train_spst
+
+        common = dict(
+            synthetic=True, out_path=str(tmp_path),
+            num_points=64, epochs=3, rounds=2,
+            model="pointnet", model_file="", test_batch_size=8,
+        )
+        # entropy threshold 0 -> nothing ever selected -> every round
+        # degenerate; no crash, decay advanced for rounds*epochs epochs
+        cfg = SPSTConfig(exp_name="deg0", batch_size=8,
+                         threshold=0.0, **common)
+        _, results = train_spst(cfg)
+        want = cfg.spl_weight - cfg.weight_decay_per_epoch * 6
+        assert results["spl_weight"] == pytest.approx(want)
+        assert results["cls_weight"] == pytest.approx(
+            cfg.cls_weight - cfg.weight_decay_per_epoch * 6)
+        # nothing trained: best never updated
+        assert results["best"]["epoch"] == -1
+
+        # nonzero-but-short selection (threshold 10 selects all 256
+        # synthetic target train clouds, < batch_size 512) is equally
+        # degenerate
+        cfg = SPSTConfig(exp_name="deg_small", batch_size=512,
+                         threshold=10.0, **common)
+        _, results = train_spst(cfg)
+        assert results["spl_weight"] == pytest.approx(want)
+        assert results["best"]["epoch"] == -1
 
     def test_selection_thresholds(self):
         """Entropy gate keeps only confident samples."""

@@ -123,6 +123,68 @@ class TestPointDAStep:
         assert np.isfinite(float(m["total"]))
 
 
+class TestDefRecDist:
+    """`--DefRec_dist volume_based_radius` must actually change the
+    deformation (`MLSP/mlsp.py:33-35` honors it at every deform site)."""
+
+    def test_radius_dispatch_reaches_pointda_step(self, data):
+        from mlsp_tpu import transforms as T
+
+        sx, sy, tx = data
+        key = jax.random.key(5)
+        deformed = {}
+        for dist in ("volume_based_voxels", "volume_based_radius"):
+            cfg = tiny_cfg(
+                model="dgcnn", DefRec_dist=dist, debug_aux=True,
+                Density_normal_viainput=True, Normal_ondef=True,
+                Density_ondef=True,
+            )
+            model = DGCNN(num_classes=10, k=8)
+            state = make_state(model, ("defrec", "normal", "scan", "density"))
+            _, m = steps.pointda_train_step(
+                state, jnp.asarray(sx[:B]), jnp.asarray(sy[:B]),
+                jnp.asarray(tx[:B]), key, cfg,
+            )
+            deformed[dist] = (np.asarray(m["aux_dx"]),
+                              np.asarray(m["aux_dmask"]),
+                              np.asarray(m["aux_trgt"]))
+            assert np.isfinite(float(m["total"]))
+
+        # the flag changed the deformation
+        assert not np.array_equal(deformed["volume_based_radius"][0],
+                                  deformed["volume_based_voxels"][0])
+        # and the radius branch consumed the radius transform: the step's
+        # viainput deform uses keys[14] of its 17-way split
+        keys = jax.random.split(key, 17)
+        dx, dmask, trgt_a = deformed["volume_based_radius"]
+        want_dx, want_mask = T.collapse_to_point_batch(
+            keys[14], jnp.asarray(trgt_a))
+        np.testing.assert_array_equal(dmask, np.asarray(want_mask))
+        np.testing.assert_allclose(dx, np.asarray(want_dx), atol=1e-6)
+
+    def test_radius_variant_trains(self, data):
+        sx, sy, tx = data
+        cfg = tiny_cfg(
+            model="dgcnn", DefRec_dist="volume_based_radius",
+            DefRec_on_trgt=True, Density_normal_viainput=True,
+            Normal_ondef=True, Density_ondef=True,
+        )
+        model = DGCNN(num_classes=10, k=8)
+        state = make_state(model, ("defrec", "normal", "scan", "density"))
+        key = jax.random.key(6)
+        p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+        for i in range(3):
+            key, k = jax.random.split(key)
+            j = (i % 4) * B
+            state, m = steps.pointda_train_step(
+                state, jnp.asarray(sx[j:j+B]), jnp.asarray(sy[j:j+B]),
+                jnp.asarray(tx[j:j+B]), k, cfg,
+            )
+            assert np.isfinite(float(m["total"]))
+            assert float(m["trgt_DefRec"]) > 0
+        assert not np.array_equal(p0, jax.tree_util.tree_leaves(state.params)[0])
+
+
 class TestPCM:
     def test_mix_shapes(self, data):
         sx, sy, _ = data
