@@ -23,9 +23,18 @@ from mlsp_tpu import ops
 from mlsp_tpu import transforms as T
 
 
-def _apply(state, params, bstats, x, heads, key):
+def _apply(state, params, bstats, x, heads, key, train=True):
     """One train-mode forward; threads batch_stats like torch's
-    sequential BN updates across the reference's multiple forwards."""
+    sequential BN updates across the reference's multiple forwards.
+    `train=False` (cfg.debug_bn_eval) freezes BN to the running stats —
+    eval-mode forwards, no stat updates — for the chaos-free trajectory
+    differentials."""
+    if not train:
+        out = state.apply_fn(
+            {"params": params, "batch_stats": bstats},
+            x, train=False, heads=heads, rngs={"dropout": key},
+        )
+        return out, bstats
     out, mut = state.apply_fn(
         {"params": params, "batch_stats": bstats},
         x,
@@ -146,6 +155,7 @@ def _pointda_grads_inner(state, src_x, src_y, trgt_x, key, cfg):
     src_x = augment_batch(keys[0], src_x)
     trgt_x = augment_batch(keys[1], trgt_x)
     debug_aux = getattr(cfg, "debug_aux", False)
+    trn = not getattr(cfg, "debug_bn_eval", False)
     aux = {"aux_src": src_x, "aux_trgt": trgt_x} if debug_aux else {}
 
     def loss_fn(params):
@@ -156,7 +166,7 @@ def _pointda_grads_inner(state, src_x, src_y, trgt_x, key, cfg):
         # ---- source supervised ----
         if cfg.DefRec_on_src:
             dx, mask = deform_dispatch(keys[2], src_x, cfg)
-            logits, bstats = _apply(state, params, bstats, dx, ("defrec",), keys[3])
+            logits, bstats = _apply(state, params, bstats, dx, ("defrec",), keys[3], train=trn)
             l = L.defrec_loss(logits["defrec"], src_x, mask, cfg.DefRec_weight)
             m["src_DefRec"] = l
             total = total + l
@@ -165,12 +175,12 @@ def _pointda_grads_inner(state, src_x, src_y, trgt_x, key, cfg):
             mixed, (ya, yb, lam) = pcm_mix(keys[4], src_x, src_y, cfg.mixup_params)
             if debug_aux:
                 m.update(aux_mixed=mixed, aux_ya=ya, aux_yb=yb, aux_lam=lam)
-            logits, bstats = _apply(state, params, bstats, mixed, (), keys[5])
+            logits, bstats = _apply(state, params, bstats, mixed, (), keys[5], train=trn)
             l = L.mixup_cross_entropy(logits["cls"], ya, yb, lam, cfg.DefRec_weight)
             m["src_mixup"] = l
             total = total + l
         else:
-            logits, bstats = _apply(state, params, bstats, src_x, (), keys[5])
+            logits, bstats = _apply(state, params, bstats, src_x, (), keys[5], train=trn)
             l = (1.0 - cfg.DefRec_weight) * L.cross_entropy(logits["cls"], src_y)
             m["src_cls"] = l
             total = total + l
@@ -191,21 +201,23 @@ def _pointda_grads_inner(state, src_x, src_y, trgt_x, key, cfg):
         # ---- target self-supervised ----
         if cfg.DefRec_on_trgt:
             dx, mask = deform_dispatch(keys[8], trgt_x, cfg)
-            logits, bstats = _apply(state, params, bstats, dx, ("defrec",), keys[9])
+            logits, bstats = _apply(state, params, bstats, dx, ("defrec",), keys[9], train=trn)
             l = L.defrec_loss(logits["defrec"], trgt_x, mask, cfg.DefRec_weight)
             m["trgt_DefRec"] = l
             total = total + l
 
         if cfg.Norm_on_trgt:
             n_gt = ops.estimate_normals(trgt_x, cfg.near)
-            logits, bstats = _apply(state, params, bstats, trgt_x, ("normal",), keys[10])
+            logits, bstats = _apply(state, params, bstats, trgt_x, ("normal",), keys[10], train=trn)
             l = L.normal_loss(logits["normal"], n_gt, cfg.normal_pred_weight)
             m["trgt_Normal"] = l
             total = total + l
 
         if cfg.Scan_on_trgt:
             sx, smask = T.scan_batch(keys[11], trgt_x)
-            logits, bstats = _apply(state, params, bstats, sx, ("scan",), keys[12])
+            if debug_aux:
+                m.update(aux_sx=sx, aux_smask=smask)
+            logits, bstats = _apply(state, params, bstats, sx, ("scan",), keys[12], train=trn)
             l = L.scan_rec_loss(logits["scan"], trgt_x, smask, cfg.Scan_Rec_weight)
             m["trgt_Rec_scan"] = l
             total = total + l
@@ -214,7 +226,7 @@ def _pointda_grads_inner(state, src_x, src_y, trgt_x, key, cfg):
             dvec, dval = ops.density_labels(
                 trgt_x, cfg.radius, cfg.density_num_class, cfg.pergroup
             )
-            logits, bstats = _apply(state, params, bstats, trgt_x, ("density",), keys[13])
+            logits, bstats = _apply(state, params, bstats, trgt_x, ("density",), keys[13], train=trn)
             C = cfg.density_num_class
             kl, mae = L.density_loss(
                 logits["density"].reshape(-1, C),
@@ -283,7 +295,7 @@ def _pointda_grads_inner(state, src_x, src_y, trgt_x, key, cfg):
             # entropy-gated one-hots from the model's own predictions;
             # SPST is the full offline variant). Confidence computed
             # without gradient; CE applied to confident samples only.
-            logits, bstats = _apply(state, params, bstats, trgt_x, (), keys[16])
+            logits, bstats = _apply(state, params, bstats, trgt_x, (), keys[16], train=trn)
             cls = logits["cls"]
             conf = jax.lax.stop_gradient(jax.nn.softmax(cls, axis=-1))
             pseudo = jnp.argmax(conf, axis=-1)

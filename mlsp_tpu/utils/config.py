@@ -100,6 +100,11 @@ class PointDAConfig:
     # the BIT-EXACT augmented/deformed arrays the jitted step consumed
     # (an eager replay of the same PRNG keys can flip voxel-boundary
     # region choices and diverge discretely)
+    debug_bn_eval: bool = False  # train step forwards use RUNNING BN
+    # stats (eval-mode BN, no stat updates). Test-only: isolates
+    # optimizer/branch composition from train-mode BN's 1/sigma chaos
+    # amplification (scan clouds are ~25% exact zeros, driving some
+    # batch variances toward 0 — see the scan trajectory differential)
     resume: str = ""  # checkpoint path to resume from (params+opt+epoch)
     save_every: int = 0  # also write last.ckpt every N epochs (preemption
     # tolerance: --resume last.ckpt loses at most N-1 epochs; 0 = off —

@@ -1,0 +1,245 @@
+"""Two-stack convergence A/B: the REFERENCE'S OWN torch trainer vs
+mlsp_tpu, same synthetic dataset + split + initial weights, trained to
+plateau, comparing final/best source-val and target-test accuracy.
+
+This is the accuracy-parity capstone attainable without the real
+PointDA datasets (absent from the image — no egress): the trajectory
+differentials prove step-level equivalence over a few iterations; this
+proves the two stacks LAND in the same place after full training.
+
+Recipe: PCM mixup on source + DefRec on target (`trainer.py:396-407,
+463-475`) — the reference's core recipe that is fully runnable in this
+image (the normal/density branches need python-pcl, which the reference
+imports for label generation; not installed here). Both stacks:
+  * identical clouds/labels/splits (our synthetic loader, same seed;
+    the torch side consumes the same arrays through the reference's own
+    augment fns `pc_utils.jitter_pointcloud(random_rotate_one_axis(z))`
+    per train item, exactly like `data/dataloader.py:92-93`),
+  * identical INITIAL WEIGHTS (the trainer's own init, reconstructed
+    and exported with `utils.torch_export.export_dgcnn`),
+  * the reference's optimizer/schedule (Adam lr 1e-3 wd 5e-5 +
+    CosineAnnealingLR per epoch, `trainer.py:258-260,574`), drop_last
+    train batching, model selection on best source-val accuracy
+    (`trainer.py:583-589`), final target-test with the best model.
+Dropout (0.5) and shuffle orders use each stack's own RNG — this is a
+CONVERGENCE comparison (where the stacks land), not a bit-exact one
+(the trajectory suite covers that).
+
+Run (ours on the TPU chip, torch on this CPU — torch is the slow side):
+    PYTHONPATH=.:$PYTHONPATH python scripts/ab_convergence_two_stack.py \
+        [epochs] [seeds-csv] [num_points] [batch]
+Round-4 verdict run: epochs=30 seeds=1,2 num_points=512 batch=16.
+"""
+
+import json
+import statistics
+import sys
+import tempfile
+import time
+
+
+def _ours(cfg):
+    from mlsp_tpu.train import train_pointda
+
+    t0 = time.perf_counter()
+    _, res = train_pointda(cfg)
+    return {
+        "best_src_val_acc": round(res["best"]["src_val_acc"], 4),
+        "best_epoch": res["best"]["epoch"],
+        "trgt_test_acc": round(res["test"]["acc"], 4),
+        "wall_s": round(time.perf_counter() - t0, 1),
+    }
+
+
+def _export_trainer_init(cfg):
+    """Reconstruct train_pointda's exact init (same key derivation,
+    `pointda_trainer.py:81,103`) and export it as a reference
+    state_dict."""
+    import jax
+    import jax.numpy as jnp
+
+    from mlsp_tpu.models import DGCNN
+    from mlsp_tpu.train.state import create_train_state
+    from mlsp_tpu.utils.config import validate_heads
+    from mlsp_tpu.utils.torch_export import export_dgcnn
+
+    key = jax.random.key(cfg.seed)
+    _, init_key = jax.random.split(key)
+    model = DGCNN(num_classes=cfg.num_class, dropout=cfg.dropout,
+                  density_num_cls=cfg.density_num_class,
+                  pergroup=cfg.pergroup)
+    state = create_train_state(
+        model, init_key,
+        jnp.zeros((cfg.batch_size, cfg.num_points, 3), jnp.float32),
+        heads=validate_heads(cfg))
+    return export_dgcnn({"params": state.params,
+                         "batch_stats": state.batch_stats},
+                        pergroup=cfg.pergroup)
+
+
+def _torch(cfg, datasets, init_sd, log):
+    """The reference's own training loop (`PointDA/trainer.py:341-611`),
+    PCM + DefRec_on_trgt branches, driven by the reference's own
+    modules."""
+    import numpy as np
+    import torch
+
+    sys.path.insert(0, "scripts")
+    from bench_vs_torch_cpu import _stub_reference_deps
+
+    _stub_reference_deps()
+    from types import SimpleNamespace
+
+    import MLSP.mlsp as mlsp
+    import MLSP.PCM as PCM
+    import utils.pc_utils as pc_utils
+    from PointDA import Models as refM
+
+    src, trgt, trgt_test = datasets
+    torch.manual_seed(cfg.seed)
+    np.random.seed(cfg.seed)
+    args = SimpleNamespace(
+        num_class=10, dropout=cfg.dropout, model="dgcnn", encoder_type="",
+        cuda=False, density_num_class=cfg.density_num_class,
+        pergroup=cfg.pergroup, gpus=[-1], DefRec_weight=cfg.DefRec_weight,
+        mixup_params=cfg.mixup_params, num_regions=cfg.num_regions,
+        DefRec_dist=cfg.DefRec_dist,
+    )
+    model = refM.DGCNN(args)
+    missing, unexpected = model.load_state_dict(
+        {k: torch.from_numpy(np.array(v)) for k, v in init_sd.items()},
+        strict=False)
+    assert not unexpected, unexpected
+    assert all(m.endswith("num_batches_tracked") for m in missing), missing
+    opt = torch.optim.Adam(model.parameters(), lr=cfg.lr,
+                           weight_decay=cfg.wd)
+    scheduler = torch.optim.lr_scheduler.CosineAnnealingLR(opt, cfg.epochs)
+    criterion = torch.nn.CrossEntropyLoss()
+    lookup = torch.Tensor(pc_utils.region_mean(args.num_regions))
+    device = torch.device("cpu")
+
+    def augment(batch):  # dataloader.py:92-93, per item
+        return np.stack([
+            pc_utils.jitter_pointcloud(
+                pc_utils.random_rotate_one_axis(c.copy(), "z"))
+            for c in batch]).astype(np.float32)
+
+    @torch.no_grad()
+    def evaluate(data, labels):  # trainer.py:296-331
+        model.eval()
+        correct = n = 0
+        for s in range(0, len(data), cfg.test_batch_size):
+            x = torch.from_numpy(
+                np.swapaxes(data[s:s + cfg.test_batch_size], 1, 2))
+            logits = model(x, activate_DefRec=False)
+            pred = logits["cls"].max(dim=1)[1].numpy()
+            correct += (pred == labels[s:s + cfg.test_batch_size]).sum()
+            n += len(pred)
+        model.train()
+        return correct / n
+
+    shuffler = np.random.default_rng(cfg.seed)
+    best = {"src_val_acc": 0.0, "epoch": -1,
+            "sd": {k: v.clone() for k, v in model.state_dict().items()}}
+    t0 = time.perf_counter()
+    n_iter = min(len(src.train_ind), len(trgt.train_ind)) // cfg.batch_size
+    for epoch in range(cfg.epochs):
+        model.train()
+        si = np.array(src.train_ind, copy=True)
+        ti = np.array(trgt.train_ind, copy=True)
+        shuffler.shuffle(si)
+        shuffler.shuffle(ti)
+        for b in range(n_iter):
+            sb = si[b * cfg.batch_size:(b + 1) * cfg.batch_size]
+            tb = ti[b * cfg.batch_size:(b + 1) * cfg.batch_size]
+            sx = torch.from_numpy(
+                np.swapaxes(augment(src.data[sb]), 1, 2))
+            sy = torch.from_numpy(src.label[sb])
+            tx = torch.from_numpy(
+                np.swapaxes(augment(trgt.data[tb]), 1, 2))
+            opt.zero_grad()
+            # PCM on source (trainer.py:396-403)
+            mixed, mixup_vals = PCM.mix_shapes(args, sx.clone(), sy)
+            loss_s = PCM.calc_loss(args, model(mixed, activate_DefRec=False),
+                                   mixup_vals, criterion)
+            loss_s.backward()
+            # DefRec on target (trainer.py:463-475)
+            dx, mask = mlsp.deform_input(tx.clone(), lookup,
+                                         args.DefRec_dist, device)
+            loss_t = mlsp.calc_loss(args, model(dx, activate_DefRec=True),
+                                    tx, mask)
+            loss_t.backward()
+            opt.step()
+        scheduler.step()
+        src_val = evaluate(src.data[src.val_ind], src.label[src.val_ind])
+        if src_val > best["src_val_acc"]:  # trainer.py:583-589
+            best.update(src_val_acc=float(src_val), epoch=epoch,
+                        sd={k: v.clone()
+                            for k, v in model.state_dict().items()})
+        log(f"  torch epoch {epoch}: src_val {src_val:.4f} "
+            f"(best {best['src_val_acc']:.4f} @ {best['epoch']}) "
+            f"[{time.perf_counter() - t0:.0f}s]")
+    model.load_state_dict(best["sd"])
+    test_acc = evaluate(trgt_test.data, trgt_test.label)
+    return {
+        "best_src_val_acc": round(best["src_val_acc"], 4),
+        "best_epoch": best["epoch"],
+        "trgt_test_acc": round(float(test_acc), 4),
+        "wall_s": round(time.perf_counter() - t0, 1),
+    }
+
+
+def main():
+    from mlsp_tpu.data.pointda import load_pointda
+    from mlsp_tpu.utils.cache import enable as enable_cache
+    from mlsp_tpu.utils.config import PointDAConfig
+
+    enable_cache()
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    seeds = ([int(s) for s in sys.argv[2].split(",")]
+             if len(sys.argv) > 2 else [1, 2])
+    N = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+    B = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+
+    def log(msg):
+        print(msg, flush=True)
+
+    rows = {"ours": [], "torch": []}
+    for seed in seeds:
+        with tempfile.TemporaryDirectory() as d:
+            cfg = PointDAConfig(
+                synthetic=True, src_dataset="modelnet",
+                trgt_dataset="scannet", epochs=epochs, batch_size=B,
+                num_points=N, test_batch_size=32, seed=seed, out_path=d,
+                exp_name=f"ab2s_{seed}", apply_PCM=True,
+                DefRec_on_trgt=True,
+            ).resolved()
+            datasets = (
+                load_pointda("modelnet", cfg.dataroot, "train", N, True, seed),
+                load_pointda("scannet", cfg.dataroot, "train", N, True, seed),
+                load_pointda("scannet", cfg.dataroot, "test", N, True, seed),
+            )
+            init_sd = _export_trainer_init(cfg)
+            ours = _ours(cfg)
+            rows["ours"].append({"seed": seed, **ours})
+            log(f"== ours  seed {seed}: {ours}")
+            th = _torch(cfg, datasets, init_sd, log)
+            rows["torch"].append({"seed": seed, **th})
+            log(f"== torch seed {seed}: {th}")
+
+    out = {"workload": f"PCM + target DefRec, modelnet->scannet synthetic, "
+                       f"N={N} B={B} epochs={epochs}", "per_seed": rows}
+    for side in ("ours", "torch"):
+        sv = [r["best_src_val_acc"] for r in rows[side]]
+        tt = [r["trgt_test_acc"] for r in rows[side]]
+        out[side] = {
+            "src_val_mean": round(statistics.mean(sv), 4),
+            "src_val_std": round(statistics.pstdev(sv), 4),
+            "trgt_test_mean": round(statistics.mean(tt), 4),
+            "trgt_test_std": round(statistics.pstdev(tt), 4),
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

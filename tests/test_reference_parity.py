@@ -1069,11 +1069,63 @@ class TestTrajectory:
                     "batch_stats": state_prev.batch_stats})["params"]
                 ours_g = m["aux_grads"]
                 # chaos floor from the SAME compiled program on 1e-4
-                # perturbed inputs (state update discarded)
+                # perturbed inputs
                 _, m_pert = steps.pointda_train_step(
                     state_prev, jnp.asarray(src_x + 1e-4),
                     jnp.asarray(src_y), jnp.asarray(trgt_x + 1e-4),
                     key_i, cfg)
+                # the STEP floor: same step, params nudged elementwise
+                # by +-lr (rademacher; Adam's exact first-step
+                # magnitude) — the unit of divergence one optimizer
+                # step can add to a branch loss / a BN stat
+                leaves, tdef = jax.tree_util.tree_flatten(
+                    state_prev.params)
+                ks = jax.random.split(jax.random.key(99), len(leaves))
+                state_ppert, m_ppert = steps.pointda_train_step(
+                    state_prev.replace(
+                        params=jax.tree_util.tree_unflatten(tdef, [
+                            l + cfg.lr * jnp.sign(
+                                jax.random.normal(k, l.shape))
+                            for l, k in zip(leaves, ks)])),
+                    jnp.asarray(src_x), jnp.asarray(src_y),
+                    jnp.asarray(trgt_x), key_i, cfg)
+                # Loss/BN floors use a SMALLER perturbation than the
+                # grad floor's 1e-4: the torch side replays the exact
+                # transform draws (debug_aux), so a floor contaminated
+                # by a discrete voxel-boundary flip (an O(loss) change
+                # the real comparison never sees) would be vacuous.
+                # Ladder: largest eps whose deform mask is unchanged —
+                # big enough to flip the kNN near-ties that ARE the
+                # cross-implementation mechanism, small enough to keep
+                # the transforms identical.
+                m_eps = None
+                for eps_probe in (1e-5, 1e-6):
+                    st_eps, m_eps = steps.pointda_train_step(
+                        state_prev, jnp.asarray(src_x + eps_probe),
+                        jnp.asarray(src_y),
+                        jnp.asarray(trgt_x + eps_probe), key_i, cfg)
+                    if np.array_equal(np.asarray(m_eps["aux_dmask"]),
+                                      dmask):
+                        break
+                in_floor = {b: abs(float(m[b]) - float(m_eps[b]))
+                            for b in t_losses}
+                step_floor = {b: abs(float(m[b]) - float(m_ppert[b]))
+                              for b in t_losses}
+                bn_floor = {"mean": 0.0, "var": 0.0}
+                for (pa, a), (_, i_), (_, p_) in zip(
+                        jax.tree_util.tree_leaves_with_path(
+                            state.batch_stats),
+                        jax.tree_util.tree_leaves_with_path(
+                            st_eps.batch_stats),
+                        jax.tree_util.tree_leaves_with_path(
+                            state_ppert.batch_stats)):
+                    grp = ("var" if "var" in jax.tree_util.keystr(pa)
+                           else "mean")
+                    a = np.asarray(a, np.float64)
+                    sc = max(np.abs(a).max(), 1e-3)
+                    d = max(np.abs(a - np.asarray(i_, np.float64)).max(),
+                            np.abs(a - np.asarray(p_, np.float64)).max())
+                    bn_floor[grp] = max(bn_floor[grp], d / sc)
                 pert_g = m_pert["aux_grads"]
                 flat_o = dict(jax.tree_util.tree_leaves_with_path(ours_g))
                 flat_p = dict(jax.tree_util.tree_leaves_with_path(pert_g))
@@ -1116,27 +1168,31 @@ class TestTrajectory:
             # (doubled weight, wrong schedule/optimizer scale) moves a
             # branch by ~its full movement or more.
             for name, want in t_losses.items():
-                # The deform-dependent branches run the TRAIN-mode
-                # forward on a collapsed Gaussian cluster whose internal
-                # kNN graph is dense with near-ties: torch and XLA pick
-                # measurably different graphs from ~1e-7 reduce-order
-                # noise, giving an ~1-2% spread at IDENTICAL params (the
-                # perturbation-calibrated floor; run-to-run CPU thread
-                # partitioning shifts it too). The plain source CE has no
-                # such input and must match tightly.
-                base = 2e-3 if name == "src_mixup" else 4e-2
-                # Per-step chaos envelope: one Adam step moves params by
-                # ~lr*sqrt(M), and the implementations' update directions
-                # differ by the ~40% measured grad-chaos floor, so each
-                # step can shift a loss by ~|grad|*lr*sqrt(M)
-                # (empirically ~1000*lr for src CE, ~3800*lr for the
-                # PCM-mixup branch). Composition bugs move branch losses
-                # by O(loss) regardless of lr.
-                # Deform-branch forwards re-amplify param drift through
-                # collapsed-cluster kNN ties each step (~7%/step
-                # measured), so their envelope grows with the step index.
-                tol = base * abs(want) * (1 + 2 * gi) + 2e-4 + 4000 * cfg.lr * gi
-                assert abs(float(m[name]) - want) <= tol, (
+                # Envelope DERIVED from the in-test floors (measured at
+                # gi==0 on this very host, so the suite is portable by
+                # construction): the INPUT floor is the branch's loss
+                # spread under a 1e-4 input perturbation at identical
+                # params — the cross-implementation noise proxy (the
+                # deform branches run train-mode forwards on collapsed
+                # Gaussian clusters whose kNN graphs are dense with
+                # near-ties; torch and XLA pick measurably different
+                # graphs from ~1e-7 reduce-order noise). The STEP floor
+                # is the spread under a +-lr param nudge — what one
+                # optimizer step of divergence can add. Divergence
+                # compounds through the deform-branch tie flips, hence
+                # the (1+gi) growth on both terms. Composition bugs
+                # (doubled weight, wrong schedule/optimizer scale) move
+                # a branch by O(loss), so the floor envelope is CAPPED
+                # at half the loss — where chaos floors explode (the
+                # collapsed-cluster DefRec branch: a +-lr param nudge
+                # alone moves it ~8%), the cap keeps the comparison able
+                # to catch weight/schedule bugs.
+                tol = (min(6.0 * (1 + gi)
+                           * (in_floor[name] + step_floor[name]),
+                           0.5 * abs(want))
+                       + 1e-5 * abs(want) + 1e-6)
+                err = abs(float(m[name]) - want)
+                assert err <= tol, (
                     f"step {gi}: {name} ours {float(m[name]):.6f} vs "
                     f"torch {want:.6f} (tol {tol:.6f})")
 
@@ -1165,24 +1221,194 @@ class TestTrajectory:
             steps_n = self.EPOCHS * self.ITERS
             if "running_" in k_:
                 # BN running stats integrate ~3 forwards/step x 6 steps
-                # of batch statistics whose implementations differ at the
-                # ~1%% forward-noise level, with momentum 0.1 each — a
-                # ~2-4%% relative drift envelope.
-                # variances are estimated over batch B=4 here, so
-                # implementation noise enters quadratically
-                lim = (0.12 if "running_var" in k_ else 0.05) * scale + 1e-3
+                # of batch statistics; the envelope is the measured
+                # ONE-step drift floor (max of the eps-ladder input and
+                # +-lr param responses at gi==0) compounded linearly
+                # over the steps — per-step cross-implementation stat
+                # noise is the same tie-flip mechanism the floor probes.
+                # Measured here: floors ~1.6-2.2% -> lim ~0.3-0.4*scale
+                # vs observed drift <= 6.6%.
+                grp = "var" if "running_var" in k_ else "mean"
+                lim = 3.0 * steps_n * bn_floor[grp] * scale + 1e-3
                 assert err <= lim, (
                     f"{k_} running-stat drift {err} (scale {scale})")
                 continue
-            # Envelope: per step Adam moves a param by at most ~lr, so an
-            # entry whose grad direction is chaos-determined (the
-            # measured f32 floor) can drift by 2*lr*steps absolute;
-            # everything else must track far tighter (95th-percentile).
-            assert err <= 2.5 * cfg.lr * steps_n + 5e-3 * scale, (
+            # Mechanistic Adam envelope: both stacks move an entry by at
+            # most ~lr per step, so divergence <= 2*lr*steps even where
+            # grad directions fully decorrelate (measured: no key
+            # exceeds 2.5*lr*steps; the bulk must track far tighter —
+            # 95th percentile).
+            assert err <= 3.0 * cfg.lr * steps_n, (
                 f"{k_} diverged after {steps_n} steps: max abs {err}")
             q95 = float(np.quantile(np.abs(a - b), 0.95))
-            assert q95 <= 2 * cfg.lr * steps_n + 2e-3 * scale, (
+            assert q95 <= 2 * cfg.lr * steps_n, (
                 f"{k_}: 95th-percentile drift {q95}")
+
+    def test_pointda_scan_trajectory_eval_bn(self, rng):
+        """Scan-branch trajectory with EVAL-MODE BN (cfg.debug_bn_eval).
+
+        `Scan_on_trgt` is excluded from the train-mode trajectory above
+        for a measured reason: scan-occluded clouds are ~25% exact
+        zeros, driving train-mode BN batch variances toward 0 where f32
+        reduce-order noise is amplified by 1/sigma on BOTH sides.
+        Freezing BN to the (identical, imported) running stats removes
+        that mechanism while preserving the rest of the composition —
+        scan transform -> scan-head forward -> `mlsp.calc_scan_loss`
+        (`trainer.py:492-504`) -> accumulated backward -> Adam/schedule
+        threading — so this variant holds the scan branch to the same
+        trajectory standard as the other branches. Torch side:
+        `model.eval()` (dropout is 0, so eval == frozen BN).
+
+        Tolerances are DERIVED from in-test measured floors, not box
+        constants: (a) the INPUT floor — the same compiled step on
+        1e-4-perturbed inputs, the cross-implementation noise proxy the
+        grad check above already uses; (b) the STEP floor — the same
+        step from params perturbed elementwise by +-lr (rademacher;
+        Adam's exact first-step magnitude), the unit of divergence one
+        optimizer step can add.
+        """
+        import torch.nn.functional as F  # noqa: F401
+
+        from mlsp_tpu.models import DGCNN
+        from mlsp_tpu.train import steps
+        from mlsp_tpu.train.state import create_train_state
+        from mlsp_tpu.utils.config import PointDAConfig
+        from mlsp_tpu.utils.torch_export import export_dgcnn
+
+        B, N = self.B, self.N
+        cfg = PointDAConfig(
+            batch_size=B, num_points=N, dropout=0.0, epochs=self.EPOCHS,
+            lr=1e-5, wd=5e-5, apply_PCM=True, mixup_params=1.0,
+            Scan_on_trgt=True, knn_backend="xla",
+            debug_aux=True, debug_bn_eval=True)
+        heads = ("defrec", "normal", "scan", "density")
+        branches = ("src_mixup", "trgt_Rec_scan")
+
+        targs = self._torch_args()
+        torch.manual_seed(17)
+        tmodel = refM.DGCNN(targs)
+        tmodel.eval()  # frozen BN on the torch side too
+        model = DGCNN(num_classes=10, k=20, dropout=0.0, knn_backend="xla")
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((B, N, 3), jnp.float32),
+            optimizer="ADAM", lr=cfg.lr, wd=cfg.wd, epochs=self.EPOCHS,
+            steps_per_epoch=self.ITERS, heads=heads,
+            untrained_heads=("defrec", "normal", "density"))
+        v = import_dgcnn(tmodel.state_dict(), {
+            "params": state.params, "batch_stats": state.batch_stats})
+        state = state.replace(params=v["params"],
+                              batch_stats=v["batch_stats"])
+        bn_init = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+
+        opt = torch.optim.Adam(tmodel.parameters(), lr=cfg.lr,
+                               weight_decay=cfg.wd)
+        sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, self.EPOCHS)
+        ce = torch.nn.CrossEntropyLoss()
+        base_key = jax.random.key(321)
+
+        def cloud():
+            x = rng.standard_normal((B, N, 3)).astype(np.float32)
+            x -= x.mean(1, keepdims=True)
+            return x / np.linalg.norm(x, axis=-1).max(-1)[:, None, None]
+
+        in_floor = step_floor = None
+        for gi in range(self.EPOCHS * self.ITERS):
+            src_x, src_y, trgt_x = cloud(), rng.integers(0, 10, B), cloud()
+            key_i = jax.random.fold_in(base_key, gi)
+            state_prev = state
+            state, m = steps.pointda_train_step(
+                state, jnp.asarray(src_x), jnp.asarray(src_y),
+                jnp.asarray(trgt_x), key_i, cfg)
+
+            if gi == 0:
+                # (a) input floor: same step, 1e-4-perturbed inputs
+                _, m_in = steps.pointda_train_step(
+                    state_prev, jnp.asarray(src_x + 1e-4),
+                    jnp.asarray(src_y), jnp.asarray(trgt_x + 1e-4),
+                    key_i, cfg)
+                # (b) step floor: same step, params nudged +-lr
+                leaves, tdef = jax.tree_util.tree_flatten(state_prev.params)
+                ks = jax.random.split(jax.random.key(99), len(leaves))
+                pleaves = [
+                    l + cfg.lr * jnp.sign(jax.random.normal(k, l.shape))
+                    for l, k in zip(leaves, ks)]
+                _, m_par = steps.pointda_train_step(
+                    state_prev.replace(
+                        params=jax.tree_util.tree_unflatten(tdef, pleaves)),
+                    jnp.asarray(src_x), jnp.asarray(src_y),
+                    jnp.asarray(trgt_x), key_i, cfg)
+                in_floor = {b: abs(float(m[b]) - float(m_in[b]))
+                            for b in branches}
+                step_floor = {b: abs(float(m[b]) - float(m_par[b]))
+                              for b in branches}
+
+            # torch replication: PCM mixup + scan, the jitted step's own
+            # draws via debug_aux (trainer.py:396-401, 492-504)
+            opt.zero_grad()
+            logits = tmodel(_cf(np.asarray(m["aux_mixed"])),
+                            activate_DefRec=False)
+            loss_s = PCM.calc_loss(
+                targs, logits,
+                (_t(np.asarray(m["aux_ya"], np.int64)),
+                 _t(np.asarray(m["aux_yb"], np.int64)),
+                 float(m["aux_lam"])), ce)
+            loss_s.backward()
+            sl = tmodel(_cf(np.asarray(m["aux_sx"])), activate_scan=True)
+            loss_sc = mlsp.calc_scan_loss(
+                targs, sl, _cf(np.asarray(m["aux_trgt"])),
+                _mask3(np.asarray(m["aux_smask"])))
+            loss_sc.backward()
+            opt.step()
+            if (gi + 1) % self.ITERS == 0:
+                sched.step()
+
+            for name, want in (("src_mixup", float(loss_s)),
+                               ("trgt_Rec_scan", float(loss_sc))):
+                tol = (4.0 * (in_floor[name] * (1 + gi)
+                              + gi * step_floor[name])
+                       + 1e-5 * abs(want) + 1e-6)
+                err = abs(float(m[name]) - want)
+                # measured on this box: src_mixup errs ~2e-6 (100x
+                # margin), scan errs grow 1e-7 -> 2e-5 by step 5 (the
+                # scan in_floor is dominated by the transform's discrete
+                # input sensitivity, ~1.5% of the loss — a composition
+                # bug like a doubled Scan_Rec_weight moves 100%)
+                assert err <= tol, (
+                    f"step {gi}: {name} ours {float(m[name]):.6f} vs "
+                    f"torch {want:.6f} (tol {tol:.6f})")
+
+        # BN never updated: running stats byte-identical to init
+        for (pa, a), (_, b) in zip(
+                jax.tree_util.tree_leaves_with_path(state.batch_stats),
+                jax.tree_util.tree_leaves_with_path(bn_init)):
+            np.testing.assert_array_equal(
+                np.asarray(a), b,
+                err_msg=f"frozen BN stat moved: {jax.tree_util.keystr(pa)}")
+
+        sd_ours = export_dgcnn(
+            {"params": state.params, "batch_stats": state.batch_stats})
+        sd_ref = tmodel.state_dict()
+        steps_n = self.EPOCHS * self.ITERS
+        worst = ("", 0.0)
+        for k_, tv in sd_ref.items():
+            if k_.endswith("num_batches_tracked") or "running_" in k_:
+                continue
+            if k_.startswith(("DefRec.", "Norm_pred.", "Density_cls.")):
+                np.testing.assert_array_equal(
+                    np.asarray(sd_ours[k_]), tv.numpy(),
+                    err_msg=f"frozen head param {k_} moved")
+                continue
+            a = np.asarray(sd_ours[k_], np.float64)
+            b = tv.numpy().astype(np.float64)
+            err = float(np.abs(a - b).max())
+            if err > worst[1]:
+                worst = (k_, err)
+            # mechanistic Adam envelope: both stacks move an entry by at
+            # most ~lr per step, so divergence <= 2*lr*steps (+margin for
+            # Adam's transient >1 moment ratio); frozen BN removes every
+            # scale-proportional mechanism. Measured worst: 7.5e-5.
+            assert err <= 3.0 * cfg.lr * steps_n, (
+                f"{k_} diverged after {steps_n} steps: max abs {err}")
 
     def test_pointsegda_train_trajectory(self, rng):
         """Seg-config trajectory (`PointSegDA/trainer.py:282-439`):
@@ -1234,11 +1460,13 @@ class TestTrajectory:
             x -= x.mean(1, keepdims=True)
             return x / np.linalg.norm(x, axis=-1).max(-1)[:, None, None]
 
+        in_floor = step_floor = bn_floor = None
         for gi in range(EPOCHS * ITERS):
             src_x = cloud()
             src_y = rng.integers(0, 8, (B, N))
             trgt_x = cloud()
             key_i = jax.random.fold_in(base_key, gi)
+            state_prev = state
             state, m, _preds = seg_steps.pointsegda_train_step(
                 state, jnp.asarray(src_x), jnp.asarray(src_y),
                 jnp.asarray(trgt_x), key_i, cfg)
@@ -1247,6 +1475,51 @@ class TestTrajectory:
             trgt_a = np.asarray(m["aux_trgt"])
             dx, dmask = np.asarray(m["aux_dx"]), np.asarray(m["aux_dmask"])
             assert dmask.sum(-1).min() >= 40, "fixture too sparse"
+
+            if gi == 0:
+                # In-test chaos floors (cf. the PointDA trajectory): the
+                # eps-ladder INPUT floor (largest eps keeping the deform
+                # mask unchanged — pure forward/tie-flip noise) and the
+                # +-lr rademacher param STEP floor.
+                for eps_probe in (1e-5, 1e-6):
+                    st_eps, m_eps, _ = seg_steps.pointsegda_train_step(
+                        state_prev, jnp.asarray(src_x + eps_probe),
+                        jnp.asarray(src_y),
+                        jnp.asarray(trgt_x + eps_probe), key_i, cfg)
+                    if np.array_equal(np.asarray(m_eps["aux_dmask"]),
+                                      dmask):
+                        break
+                leaves, tdef = jax.tree_util.tree_flatten(
+                    state_prev.params)
+                ks = jax.random.split(jax.random.key(99), len(leaves))
+                st_pp, m_pp, _ = seg_steps.pointsegda_train_step(
+                    state_prev.replace(
+                        params=jax.tree_util.tree_unflatten(tdef, [
+                            l + cfg.lr * jnp.sign(
+                                jax.random.normal(k, l.shape))
+                            for l, k in zip(leaves, ks)])),
+                    jnp.asarray(src_x), jnp.asarray(src_y),
+                    jnp.asarray(trgt_x), key_i, cfg)
+                branches = ("src_seg", "trgt_DefRec")
+                in_floor = {b: abs(float(m[b]) - float(m_eps[b]))
+                            for b in branches}
+                step_floor = {b: abs(float(m[b]) - float(m_pp[b]))
+                              for b in branches}
+                bn_floor = {"mean": 0.0, "var": 0.0}
+                for (pa, a), (_, i_), (_, p_) in zip(
+                        jax.tree_util.tree_leaves_with_path(
+                            state.batch_stats),
+                        jax.tree_util.tree_leaves_with_path(
+                            st_eps.batch_stats),
+                        jax.tree_util.tree_leaves_with_path(
+                            st_pp.batch_stats)):
+                    grp = ("var" if "var" in jax.tree_util.keystr(pa)
+                           else "mean")
+                    a = np.asarray(a, np.float64)
+                    sc = max(np.abs(a).max(), 1e-3)
+                    d = max(np.abs(a - np.asarray(i_, np.float64)).max(),
+                            np.abs(a - np.asarray(p_, np.float64)).max())
+                    bn_floor[grp] = max(bn_floor[grp], d / sc)
 
             opt.zero_grad()
             logits = tmodel(_cf(src_a), make_seg=True, activate_DefRec=False)
@@ -1262,8 +1535,14 @@ class TestTrajectory:
 
             for name, want in (("src_seg", float(loss_s)),
                                ("trgt_DefRec", float(loss_d))):
-                base = 2e-3 if name == "src_seg" else 4e-2
-                tol = base * abs(want) * (1 + 2 * gi) + 2e-4 + 4000 * cfg.lr * gi
+                # floor-derived envelope, capped at half the loss so
+                # composition bugs (O(loss) shifts) stay catchable even
+                # where the chaos floors are large (cf. the PointDA
+                # trajectory's derivation)
+                tol = (min(6.0 * (1 + gi)
+                           * (in_floor[name] + step_floor[name]),
+                           0.5 * abs(want))
+                       + 1e-5 * abs(want) + 1e-6)
                 assert abs(float(m[name]) - want) <= tol, (
                     f"seg step {gi}: {name} ours {float(m[name]):.6f} vs "
                     f"torch {want:.6f} (tol {tol:.6f})")
@@ -1299,10 +1578,14 @@ class TestTrajectory:
             scale = max(np.abs(b).max(), 1e-3)
             err = float(np.abs(a - b).max())
             if "running_" in k_:
-                lim = (0.12 if "running_var" in k_ else 0.05) * scale + 1e-3
+                # one-step measured floor compounded over the steps
+                # (cf. the PointDA trajectory's derivation)
+                grp = "var" if "running_var" in k_ else "mean"
+                lim = 3.0 * steps_n * bn_floor[grp] * scale + 1e-3
                 assert err <= lim, f"{k_} running-stat drift {err}"
                 continue
-            assert err <= 2.5 * cfg.lr * steps_n + 5e-3 * scale, (
+            # mechanistic Adam envelope (divergence <= ~2*lr per step)
+            assert err <= 3.0 * cfg.lr * steps_n, (
                 f"{k_} diverged after {steps_n} steps: max abs {err}")
 
         # function-level tracking for the re-parameterised blocks: both

@@ -531,6 +531,8 @@ class TestSPSTFinetuneTrajectory:
 
         spl, cls_w = cfg.spl_weight, cfg.cls_weight
         bi = 0
+        upd_sum = 0.0
+        in_floor = step_floor = None
         for rnd in range(self.ROUNDS):
             for epoch in range(self.EPOCHS):
                 lr = torch_cosine_lr(cfg.lr, self.EPOCHS,
@@ -538,11 +540,51 @@ class TestSPSTFinetuneTrajectory:
                 state = set_learning_rate(state, lr)
                 assert np.isclose(lr, opt.param_groups[0]["lr"], rtol=1e-6)
                 for _ in range(self.ITERS):
+                    state_prev = state
                     state, m = spst_mod.spst_train_step(
                         state, jnp.asarray(tx[bi]), jnp.asarray(ty[bi]),
                         jnp.asarray(sx[bi]), jnp.asarray(sy[bi]),
                         jnp.float32(spl), jnp.float32(cls_w),
                         jax.random.key(bi), cfg)
+                    # per-step update magnitude (inf-norm over the
+                    # tree): the unit both loss- and param-envelopes
+                    # are derived from
+                    upd = max(float(jnp.abs(a - b).max()) for a, b in zip(
+                        jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(state_prev.params)))
+                    upd_sum += upd
+                    if bi == 0:
+                        # in-test chaos floors (cf. TestTrajectory):
+                        # (a) INPUT floor — 1e-5-perturbed inputs at
+                        # identical params (maxpool tie-flip noise);
+                        # (b) STEP floor — params nudged elementwise by
+                        # +-(this step's own update magnitude), the
+                        # divergence one SGD step can add.
+                        _, m_eps = spst_mod.spst_train_step(
+                            state_prev, jnp.asarray(tx[bi] + 1e-5),
+                            jnp.asarray(ty[bi]),
+                            jnp.asarray(sx[bi] + 1e-5),
+                            jnp.asarray(sy[bi]), jnp.float32(spl),
+                            jnp.float32(cls_w), jax.random.key(bi), cfg)
+                        leaves, tdef = jax.tree_util.tree_flatten(
+                            state_prev.params)
+                        ks = jax.random.split(jax.random.key(99),
+                                              len(leaves))
+                        _, m_pp = spst_mod.spst_train_step(
+                            state_prev.replace(
+                                params=jax.tree_util.tree_unflatten(
+                                    tdef, [
+                                        l + upd * jnp.sign(
+                                            jax.random.normal(k, l.shape))
+                                        for l, k in zip(leaves, ks)])),
+                            jnp.asarray(tx[bi]), jnp.asarray(ty[bi]),
+                            jnp.asarray(sx[bi]), jnp.asarray(sy[bi]),
+                            jnp.float32(spl), jnp.float32(cls_w),
+                            jax.random.key(bi), cfg)
+                        in_floor = {b: abs(float(m[b]) - float(m_eps[b]))
+                                    for b in ("trgt_cls", "src_cls")}
+                        step_floor = {b: abs(float(m[b]) - float(m_pp[b]))
+                                      for b in ("trgt_cls", "src_cls")}
                     opt.zero_grad()
                     tl = ref(_cf(tx[bi]), activate_DefRec=False)
                     loss_t = spl * crit(tl["cls"],
@@ -553,21 +595,27 @@ class TestSPSTFinetuneTrajectory:
                                           torch.from_numpy(sy[bi]))
                     loss_s.backward()
                     opt.step()
-                    # Measured drift (this exact setup): 2.5e-4 rel in
-                    # epoch 0, ~2e-2 at epoch 1, fully decorrelated
-                    # (20-45%) from batch 4 on — global-maxpool route
-                    # flips compound per step exactly as in
-                    # TestTrajectory. Compare only while the signal
-                    # exceeds the chaos; afterwards keep stepping BOTH
-                    # stacks so the scheduler assert covers round 2.
-                    rtol = (2e-3, 2e-3, 3e-2, 6e-2)
-                    if bi < len(rtol):
-                        np.testing.assert_allclose(
-                            float(m["trgt_cls"]), float(loss_t.detach()),
-                            rtol=rtol[bi], err_msg=f"batch {bi} trgt")
-                        np.testing.assert_allclose(
-                            float(m["src_cls"]), float(loss_s.detach()),
-                            rtol=rtol[bi], err_msg=f"batch {bi} src")
+                    # Drift decorrelates fully (20-45%) from batch 4 on
+                    # — global-maxpool route flips compound per step
+                    # exactly as in TestTrajectory. Compare only while
+                    # the signal exceeds the chaos (first 4 batches),
+                    # with FLOOR-DERIVED envelopes (measured at bi==0 on
+                    # this host, so the gate is portable), capped at
+                    # half the loss so weight/LR bugs stay catchable;
+                    # afterwards keep stepping BOTH stacks so the
+                    # scheduler assert covers round 2.
+                    if bi < 4:
+                        for name, want in (("trgt_cls", float(loss_t)),
+                                           ("src_cls", float(loss_s))):
+                            tol = (min(6.0 * (1 + bi)
+                                       * (in_floor[name]
+                                          + step_floor[name]),
+                                       0.5 * abs(want))
+                                   + 1e-5 * abs(want) + 1e-6)
+                            assert abs(float(m[name]) - want) <= tol, (
+                                f"batch {bi} {name}: ours "
+                                f"{float(m[name]):.6f} vs torch "
+                                f"{want:.6f} (tol {tol:.6f})")
                     bi += 1
                 spl -= cfg.weight_decay_per_epoch
                 cls_w -= cfg.weight_decay_per_epoch
@@ -575,10 +623,13 @@ class TestSPSTFinetuneTrajectory:
 
         # Final params: equality is unobtainable past the chaos horizon
         # (decorrelated route flips), but the UPDATE MAGNITUDE is pinned
-        # by lr/momentum — measured max |delta| 1.4e-2 after all 8 SGD
-        # steps (input-layer kernels carry the largest momentum-
-        # amplified grads); a 10x LR error or a wrong scheduler shape
-        # moves params an order of magnitude more.
+        # by lr/momentum — the envelope is twice the SUM of our own
+        # per-step update inf-norms (both stacks' updates are the same
+        # scale — the loss gates above assert that — so divergence is
+        # bounded by the two walks' total movement). Measured: max
+        # |delta| 1.4e-2 after all 8 SGD steps; a 10x LR error or a
+        # wrong scheduler shape moves params an order of magnitude
+        # more.
         # (running BN stats are excluded: they track the activations,
         # which decorrelate with the routes, not the lr-bounded updates)
         back = import_pointnet(
@@ -589,7 +640,7 @@ class TestSPSTFinetuneTrajectory:
         flat_o = jax.tree_util.tree_leaves_with_path(state.params)
         for (kp, a), (_, b) in zip(flat_t, flat_o):
             np.testing.assert_allclose(
-                np.asarray(b), np.asarray(a), atol=3e-2,
+                np.asarray(b), np.asarray(a), atol=2.0 * upd_sum,
                 err_msg=jax.tree_util.keystr(kp))
 
 
