@@ -25,10 +25,26 @@ Dropout (0.5) and shuffle orders use each stack's own RNG — this is a
 CONVERGENCE comparison (where the stacks land), not a bit-exact one
 (the trajectory suite covers that).
 
+N MUST BE 1024 (the reference's own operating point) for any recipe
+with DefRec: `mlsp.deform_input` only deforms voxel regions holding
+>= 40 points (`mlsp.py:27,41`), and when NO region of a cloud
+qualifies the mask is all-zero and the reference's own
+`reconstruction_loss` divides 0/0 -> NaN, which one `backward()`
+propagates into every weight (measured: at N=256 on the synthetic
+target ~40% of clouds don't qualify and torch's val accuracy freezes
+at chance from epoch 0; our `defrec_loss` guards the empty mask — a
+documented delta, PARITY.md). At N=1024 the worst synthetic cloud's
+best region holds 54 points over 30 random-rotation trials.
+
+`max_train` subsamples the train split SYMMETRICALLY (ours via a
+wrapped loader around the production trainer, torch directly) to keep
+the torch side's CPU budget sane at N=1024.
+
 Run (ours on the TPU chip, torch on this CPU — torch is the slow side):
     PYTHONPATH=.:$PYTHONPATH python scripts/ab_convergence_two_stack.py \
-        [epochs] [seeds-csv] [num_points] [batch]
-Round-4 verdict run: epochs=30 seeds=1,2 num_points=512 batch=16.
+        [epochs] [seeds-csv] [num_points] [batch] [max_train]
+Round-4 verdict run: epochs=12 seeds=1,2 num_points=1024 batch=16
+max_train=128 (~3 h, almost all of it torch).
 """
 
 import json
@@ -38,11 +54,27 @@ import tempfile
 import time
 
 
-def _ours(cfg):
+def _ours(cfg, datasets):
+    """Run the PRODUCTION trainer, its loader wrapped to serve the A/B's
+    (possibly train-subsampled) datasets so both stacks see identical
+    data."""
+    import mlsp_tpu.train.pointda_trainer as PT
     from mlsp_tpu.train import train_pointda
 
+    src, trgt, trgt_test = datasets
+    table = {("modelnet", "train"): src, ("scannet", "train"): trgt,
+             ("scannet", "test"): trgt_test}
+
+    def fake_load(name, dataroot, partition, *a, **k):
+        return table[(name, partition)]
+
+    orig = PT.load_pointda
+    PT.load_pointda = fake_load
     t0 = time.perf_counter()
-    _, res = train_pointda(cfg)
+    try:
+        _, res = train_pointda(cfg)
+    finally:
+        PT.load_pointda = orig
     return {
         "best_src_val_acc": round(res["best"]["src_val_acc"], 4),
         "best_epoch": res["best"]["epoch"],
@@ -195,11 +227,12 @@ def main():
     from mlsp_tpu.utils.config import PointDAConfig
 
     enable_cache()
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     seeds = ([int(s) for s in sys.argv[2].split(",")]
              if len(sys.argv) > 2 else [1, 2])
-    N = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+    N = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
     B = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+    max_train = int(sys.argv[5]) if len(sys.argv) > 5 else 128
 
     def log(msg):
         print(msg, flush=True)
@@ -219,8 +252,10 @@ def main():
                 load_pointda("scannet", cfg.dataroot, "train", N, True, seed),
                 load_pointda("scannet", cfg.dataroot, "test", N, True, seed),
             )
+            for d in datasets[:2]:  # symmetric train subsample
+                d.train_ind = d.train_ind[:max_train]
             init_sd = _export_trainer_init(cfg)
-            ours = _ours(cfg)
+            ours = _ours(cfg, datasets)
             rows["ours"].append({"seed": seed, **ours})
             log(f"== ours  seed {seed}: {ours}")
             th = _torch(cfg, datasets, init_sd, log)
@@ -228,7 +263,8 @@ def main():
             log(f"== torch seed {seed}: {th}")
 
     out = {"workload": f"PCM + target DefRec, modelnet->scannet synthetic, "
-                       f"N={N} B={B} epochs={epochs}", "per_seed": rows}
+                       f"N={N} B={B} epochs={epochs} max_train={max_train}",
+           "per_seed": rows}
     for side in ("ours", "torch"):
         sv = [r["best_src_val_acc"] for r in rows[side]]
         tt = [r["trgt_test_acc"] for r in rows[side]]
