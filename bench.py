@@ -172,11 +172,15 @@ def main() -> None:
         radius=0.135,
     )
     head_bf16 = os.environ.get("MLSP_BENCH_HEAD_F32", "") != "1"
+    from mlsp_tpu.utils import chipcal
+
+    edge_cal = chipcal.edge_calibration()  # measured A/B, cached per chip
     model = DGCNN(
         num_classes=10, k=20, knn_backend="auto",
         head_dtype=jnp.bfloat16 if head_bf16 else None,
     )  # backbone f32: full bf16 degrades convergence (kNN graphs from
     # rounded features); per-point heads have no graph dependency.
+    # edge_impl defaults to "auto" -> the calibrated winner above.
     sample = jnp.zeros((B, N, 3), jnp.float32)
     state = create_train_state(
         model, jax.random.key(0), sample, epochs=150, steps_per_epoch=100,
@@ -301,11 +305,30 @@ def main() -> None:
         "t_sparse_bound_ms": round(t_gather_bound * 1e3, 2),
         "roofline_frac": round(roofline_frac, 3),
         "bound_sum_frac": round(bound_sum_frac, 3),
+        # The ~7% the two bounds miss is LAYOUT traffic, attributed by
+        # device-trace census (scripts/attrib_step_trace.py, r4):
+        # reshape 23.4 + copy/transpose 13.4 ms/step on this chip, of
+        # which roughly half overlaps the bounds' phases. With it the
+        # account closes: flops + sparse + layout ~= t_step.
+        "t_layout_ms_attributed": 36.8,
         "eval_clouds_per_sec": round(B / t_eval, 1),
         "t_eval_ms": round(t_eval * 1e3, 2),
         "seg_clouds_per_sec": round(Bs / t_seg, 1),
         "t_seg_step_ms": round(t_seg * 1e3, 2),
         "head_dtype": "bf16" if head_bf16 else "f32",
+        # chip-calibrated EdgeConv dispatch (utils/chipcal.py): the
+        # measured per-layer A/B and the winner "auto" resolved to.
+        # The projection scales the fused kernel's time by this chip's
+        # matmul throttle vs nominal v5e (197 bf16 TFLOPS) — the VPU is
+        # throttled in the same class (round-3 perf_edge_micro) — i.e.
+        # the fused path's expected per-layer time on full-rate silicon.
+        "edge_impl": (edge_cal.get("winner", "moments")
+                      if model.edge_impl == "auto" else model.edge_impl),
+        "edge_moments_ms": edge_cal.get("moments_ms"),
+        "edge_fused_ms": edge_cal.get("fused_ms"),
+        "edge_fused_fullrate_ms_projected": (
+            round(edge_cal["fused_ms"] * tflops_bf16 / 197.0, 3)
+            if edge_cal else None),
     }))
 
 

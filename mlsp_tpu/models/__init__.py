@@ -23,6 +23,12 @@ def make_model(name: str, num_classes: int, **kw):
     if name == "pointnet":
         return PointNet(num_classes=num_classes, **kw)
     if name == "dgcnn":
+        if kw.get("edge_impl", "auto") == "auto":
+            # resolve the chip's EdgeConv winner NOW, outside any jit
+            # trace (measures once per device kind, cached persistently)
+            from mlsp_tpu.utils import chipcal
+
+            chipcal.edge_calibration()
         return DGCNN(num_classes=num_classes, **kw)
     if name == "dgcnn_seg":
         return DGCNNSeg(num_classes=num_classes, **kw)

@@ -173,9 +173,11 @@ class DGCNN(nn.Module):
     # carry most of the FLOPs and no kNN-graph dependency, so bf16 here is
     # safe when full-bf16 hurts convergence
     gather_dtype: t.Any = None  # EdgeConv neighbour-gather dtype (see EdgeConvM)
-    edge_impl: str = "moments"  # "moments" (1 neighbour pass) | "direct" |
+    edge_impl: str = "auto"  # "auto" (per-chip measured A/B, cached —
+    # utils/chipcal.py) | "moments" (1 neighbour pass, XLA gather/
+    # scatter; wins on this image's throttled dev chip) | "direct" |
     # "fused" (gather/scatter-free Pallas edge-moments kernel — see
-    # EdgeConvM.kernel_k; faster only on full-rate silicon)
+    # EdgeConvM.kernel_k; ~10x roofline win on full-rate silicon)
 
     def _edge(self, x):
         idx = knn_indices(x, self.k, backend=self.knn_backend)
@@ -203,10 +205,15 @@ class DGCNN(nn.Module):
         def knn_idx(feats):
             return knn_indices(feats, self.k, backend=self.knn_backend)
 
-        if self.edge_impl == "fused":
+        impl = self.edge_impl
+        if impl == "auto":
+            from mlsp_tpu.utils import chipcal
+
+            impl = chipcal.edge_impl()
+        if impl == "fused":
             EC = functools.partial(EdgeConvM, kernel_k=self.k)
             knn_idx = lambda feats: None  # noqa: E731 — built in-kernel
-        elif self.edge_impl == "moments":
+        elif impl == "moments":
             EC = functools.partial(EdgeConvM, gather_dtype=self.gather_dtype)
         else:
             EC = EdgeConv

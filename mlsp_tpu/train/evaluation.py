@@ -53,6 +53,10 @@ def _build_model(cfg: EvalConfig, knn_backend: str | None = None):
     if cfg.model == "dgcnn":
         kw.update(density_num_cls=cfg.density_num_class,
                   pergroup=cfg.pergroup, **dgcnn_dtype_kwargs(cfg))
+        if knn_backend == "xla":
+            # AOT bundles pin pure-XLA kernels so the lowered program is
+            # platform-portable; the Pallas fused EdgeConv would not be.
+            kw["edge_impl"] = "moments"
     elif cfg.model == "dgcnn_seg":
         kw.update(density_num_cls=cfg.density_num_class,
                   pergroup=cfg.pergroup)

@@ -192,7 +192,8 @@ def _pointda_grads_inner(state, src_x, src_y, trgt_x, key, cfg):
             )
             dx, mask = deform_dispatch(keys[6], src_x, cfg)
             logits, bstats = _apply(
-                state, params, bstats, dx, ("defrec", "normal", "density"), keys[7]
+                state, params, bstats, dx, ("defrec", "normal", "density"),
+                keys[7], train=trn,
             )
             total = total + _ssl_recipe_losses(
                 cfg, logits, src_x, mask, n_gt, dvec, dval, "src", m
@@ -251,7 +252,8 @@ def _pointda_grads_inner(state, src_x, src_y, trgt_x, key, cfg):
                 m.update(aux_dx=dx, aux_dmask=mask, aux_ngt=n_gt,
                          aux_dvec=dvec, aux_dval=dval)
             logits, bstats = _apply(
-                state, params, bstats, dx, ("defrec", "normal", "density"), keys[15]
+                state, params, bstats, dx, ("defrec", "normal", "density"),
+                keys[15], train=trn,
             )
             total = total + _ssl_recipe_losses(
                 cfg, logits, trgt_x, mask, n_gt, dvec, dval, "trgt", m
@@ -267,7 +269,8 @@ def _pointda_grads_inner(state, src_x, src_y, trgt_x, key, cfg):
             )
             dx, mask = deform_dispatch(keys[14], trgt_x, cfg)
             logits, bstats = _apply(
-                state, params, bstats, dx, ("defrec", "normal", "density"), keys[15]
+                state, params, bstats, dx, ("defrec", "normal", "density"),
+                keys[15], train=trn,
             )
             l = L.defrec_loss(logits["defrec"], trgt_x, mask, cfg.DefRec_weight)
             m["trgt_DefRec"] = m.get("trgt_DefRec", 0.0) + l

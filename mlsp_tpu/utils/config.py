@@ -75,6 +75,9 @@ class PointDAConfig:
 
     # runtime
     knn_backend: str = "auto"
+    edge_impl: str = "auto"  # EdgeConv core (dgcnn): "auto" = per-chip
+    # measured A/B cached in .jax_cache/chipcal.json (utils/chipcal.py),
+    # else force "moments" | "fused" | "direct"
     # "bf16" is ~13% faster on the dev chip but measurably hurts DGCNN
     # convergence (kNN graphs from rounded features) — opt-in only.
     compute_dtype: str = "f32"
@@ -164,6 +167,8 @@ class SPSTConfig:
     density_num_class: int = 16
     pergroup: float = 2.0
     knn_backend: str = "auto"
+    edge_impl: str = "auto"  # EdgeConv core: "auto" = per-chip measured
+    # A/B (utils/chipcal.py), else "moments" | "fused" | "direct"
     compute_dtype: str = "f32"
     head_dtype: str = "bf16"  # see PointDAConfig
     gather_dtype: str = ""
@@ -414,6 +419,8 @@ def dgcnn_dtype_kwargs(cfg) -> dict:
         kw["head_dtype"] = conv(cfg.head_dtype)
     if getattr(cfg, "gather_dtype", ""):
         kw["gather_dtype"] = conv(cfg.gather_dtype)
+    if getattr(cfg, "edge_impl", ""):
+        kw["edge_impl"] = cfg.edge_impl
     return kw
 
 
