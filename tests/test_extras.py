@@ -664,3 +664,57 @@ class TestMetricsLog:
         assert recs[-1]["x"] == 999
         io.trim_metrics(0)  # fresh-run truncation
         assert (tmp_path / "m" / "metrics.jsonl").read_text() == ""
+
+
+class TestHeadExclusiveModules:
+    """`state.head_exclusive_modules` derives the frozen-module set from
+    the MODEL (eval_shape param-tree diff), not a name table — it must
+    catch head-private auto-named submodules (ADVICE r3: hengshuang's
+    defrec branch instantiates a UpDecoder that a static table misses,
+    so SPST with --model hengshuang would weight-decay frozen-head
+    decoder params) and must NOT freeze modules shared with trained
+    heads."""
+
+    def test_hengshuang_defrec_owns_updecoder(self):
+        import jax
+        import jax.numpy as jnp
+
+        from mlsp_tpu.models import make_model
+        from mlsp_tpu.train.state import head_exclusive_modules
+
+        model = make_model("hengshuang", 10, nblocks=2, nneighbor=4,
+                           d_model=32, base_dim=8)
+        mods = head_exclusive_modules(
+            model, jnp.zeros((1, 64, 3), jnp.float32),
+            heads=("defrec",), untrained_heads=("defrec",))
+        assert "DefRec" in mods
+        assert any(m.startswith("UpDecoder") for m in mods), mods
+
+    def test_hengshuang_seg_shared_decoder_not_frozen(self):
+        import jax.numpy as jnp
+
+        from mlsp_tpu.models import make_model
+        from mlsp_tpu.train.state import head_exclusive_modules
+
+        model = make_model("hengshuang_seg", 8, nblocks=2, nneighbor=4,
+                           d_model=32, base_dim=8)
+        mods = head_exclusive_modules(
+            model, jnp.zeros((1, 64, 3), jnp.float32),
+            heads=("seg", "defrec"), untrained_heads=("defrec",))
+        assert "DefRec" in mods
+        # the seg head (always trained) also consumes the UpDecoder:
+        # it must NOT drop out of the tree, i.e. must stay trainable
+        assert not any(m.startswith("UpDecoder") for m in mods), mods
+
+    def test_unknown_head_raises(self):
+        import jax.numpy as jnp
+        import pytest as _pytest
+
+        from mlsp_tpu.models import make_model
+        from mlsp_tpu.train.state import head_exclusive_modules
+
+        model = make_model("pointnet", 10)
+        with _pytest.raises(ValueError, match="not in the model's head"):
+            head_exclusive_modules(
+                model, jnp.zeros((1, 64, 3), jnp.float32),
+                heads=("defrec",), untrained_heads=("nope",))
