@@ -7,10 +7,20 @@ PointDA datasets (absent from the image — no egress): the trajectory
 differentials prove step-level equivalence over a few iterations; this
 proves the two stacks LAND in the same place after full training.
 
-Recipe: PCM mixup on source + DefRec on target (`trainer.py:396-407,
-463-475`) — the reference's core recipe that is fully runnable in this
-image (the normal/density branches need python-pcl, which the reference
-imports for label generation; not installed here). Both stacks:
+Recipes (6th CLI arg):
+  * `pcm_defrec` — PCM mixup on source + DefRec on target
+    (`trainer.py:396-407,463-475`), the reference's core recipe that
+    is fully runnable in this image without label injection.
+  * `viainput` — the PAPER's method (train.sh: PCM +
+    Density_normal_viainput + Normal_ondef + Density_ondef,
+    `trainer.py:522-566`). The reference generates its normal/density
+    labels with python-pcl (absent here); the torch side instead
+    consumes labels computed by OUR ops (`ops.estimate_normals`,
+    `ops.density_labels`) on torch's OWN augmented batches — those ops
+    are differentially proven against the pcl semantics
+    (tests/test_ops.py oracles + the viainput trajectory test), so the
+    injection preserves the reference's exact loss inputs.
+Both stacks:
   * identical clouds/labels/splits (our synthetic loader, same seed;
     the torch side consumes the same arrays through the reference's own
     augment fns `pc_utils.jitter_pointcloud(random_rotate_one_axis(z))`
@@ -42,9 +52,10 @@ the torch side's CPU budget sane at N=1024.
 
 Run (ours on the TPU chip, torch on this CPU — torch is the slow side):
     PYTHONPATH=.:$PYTHONPATH python scripts/ab_convergence_two_stack.py \
-        [epochs] [seeds-csv] [num_points] [batch] [max_train]
+        [epochs] [seeds-csv] [num_points] [batch] [max_train] [recipe]
 Round-4 verdict run: epochs=12 seeds=1,2 num_points=1024 batch=16
-max_train=128 (~3 h, almost all of it torch).
+max_train=128 (~3 h, almost all of it torch). Round-5 adds
+`... 128 viainput` for the paper recipe.
 """
 
 import json
@@ -111,10 +122,14 @@ def _export_trainer_init(cfg):
 
 def _torch(cfg, datasets, init_sd, log):
     """The reference's own training loop (`PointDA/trainer.py:341-611`),
-    PCM + DefRec_on_trgt branches, driven by the reference's own
-    modules."""
+    PCM + DefRec_on_trgt and/or Density_normal_viainput branches
+    (`trainer.py:463-475,522-566`), driven by the reference's own
+    modules. For viainput the pcl-generated labels are replaced by our
+    differentially-proven ops on torch's own batches (see module
+    docstring)."""
     import numpy as np
     import torch
+    import torch.nn.functional as F
 
     sys.path.insert(0, "scripts")
     from bench_vs_torch_cpu import _stub_reference_deps
@@ -136,7 +151,31 @@ def _torch(cfg, datasets, init_sd, log):
         pergroup=cfg.pergroup, gpus=[-1], DefRec_weight=cfg.DefRec_weight,
         mixup_params=cfg.mixup_params, num_regions=cfg.num_regions,
         DefRec_dist=cfg.DefRec_dist,
+        normal_pred_weight=cfg.normal_pred_weight,
+        Density_weight=cfg.Density_weight,
+        Density_normal_defpart=cfg.Density_normal_defpart,
     )
+
+    labels_fn = None
+    if cfg.Density_normal_viainput:
+        # Label injection (trainer.py:524-538 uses pcl; our ops are
+        # oracle/differential-proven equal — tests/test_ops.py,
+        # TestTrajectory viainput). jitted once; runs per torch batch.
+        import jax
+        import jax.numpy as jnp
+
+        from mlsp_tpu import ops as jops
+
+        @jax.jit
+        def _labels(x):
+            ngt = jops.estimate_normals(x, cfg.near)
+            dvec, dval = jops.density_labels(
+                x, cfg.radius, cfg.density_num_class, cfg.pergroup)
+            return ngt, dvec, dval
+
+        def labels_fn(batch_bn3):
+            ngt, dvec, dval = _labels(jnp.asarray(batch_bn3))
+            return (np.asarray(ngt), np.asarray(dvec), np.asarray(dval))
     model = refM.DGCNN(args)
     missing, unexpected = model.load_state_dict(
         {k: torch.from_numpy(np.array(v)) for k, v in init_sd.items()},
@@ -187,20 +226,50 @@ def _torch(cfg, datasets, init_sd, log):
             sx = torch.from_numpy(
                 np.swapaxes(augment(src.data[sb]), 1, 2))
             sy = torch.from_numpy(src.label[sb])
-            tx = torch.from_numpy(
-                np.swapaxes(augment(trgt.data[tb]), 1, 2))
+            ta = augment(trgt.data[tb])  # [B, N, 3] for label gen
+            tx = torch.from_numpy(np.swapaxes(ta, 1, 2))
             opt.zero_grad()
             # PCM on source (trainer.py:396-403)
             mixed, mixup_vals = PCM.mix_shapes(args, sx.clone(), sy)
             loss_s = PCM.calc_loss(args, model(mixed, activate_DefRec=False),
                                    mixup_vals, criterion)
             loss_s.backward()
-            # DefRec on target (trainer.py:463-475)
-            dx, mask = mlsp.deform_input(tx.clone(), lookup,
-                                         args.DefRec_dist, device)
-            loss_t = mlsp.calc_loss(args, model(dx, activate_DefRec=True),
-                                    tx, mask)
-            loss_t.backward()
+            if cfg.DefRec_on_trgt:
+                # DefRec on target (trainer.py:463-475)
+                dx, mask = mlsp.deform_input(tx.clone(), lookup,
+                                             args.DefRec_dist, device)
+                loss_t = mlsp.calc_loss(
+                    args, model(dx, activate_DefRec=True), tx, mask)
+                loss_t.backward()
+            if cfg.Density_normal_viainput:
+                # the paper branch (trainer.py:522-566): deform, DefRec
+                # + masked normal + masked density losses on the
+                # deformed forward; labels from the UNdeformed batch
+                ngt, dvec, dval = labels_fn(ta)
+                dx, mask = mlsp.deform_input(tx.clone(), lookup,
+                                             args.DefRec_dist, device)
+                lp = model(dx, activate_density_normal_ondef=True)
+                loss_t = mlsp.calc_loss(args, lp, tx, mask)
+                # trainer.py:548-551 (defpart False -> mask*26+1)
+                mask_cord = mask.permute(0, 2, 1)[:, :, 0]
+                if not args.Density_normal_defpart:
+                    mask_cord = mask_cord * 26 + 1
+                if cfg.Normal_ondef:  # trainer.py:552-559
+                    npred = F.normalize(lp["Normal"], p=2, dim=-1)
+                    ngt_t = F.normalize(torch.from_numpy(ngt), p=2, dim=-1)
+                    loss_t = loss_t + args.normal_pred_weight * (
+                        -torch.sum(torch.abs(torch.sum(
+                            npred * ngt_t, dim=-1)) * mask_cord)
+                        / torch.sum(mask_cord))
+                if cfg.Density_ondef:  # trainer.py:560-566
+                    dcls, dmse = mlsp.densityloss(
+                        args, lp,
+                        torch.from_numpy(dval.reshape(-1).astype(np.float32)),
+                        torch.from_numpy(dvec.reshape(
+                            -1, cfg.density_num_class).astype(np.float32)),
+                        mask=mask_cord.reshape(-1))
+                    loss_t = loss_t + dcls + dmse
+                loss_t.backward()
             opt.step()
         scheduler.step()
         src_val = evaluate(src.data[src.val_ind], src.label[src.val_ind])
@@ -233,6 +302,14 @@ def main():
     N = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
     B = int(sys.argv[4]) if len(sys.argv) > 4 else 16
     max_train = int(sys.argv[5]) if len(sys.argv) > 5 else 128
+    recipe = sys.argv[6] if len(sys.argv) > 6 else "pcm_defrec"
+    recipe_flags = {
+        # trainer.py:463-475 (round-4 core recipe)
+        "pcm_defrec": dict(DefRec_on_trgt=True),
+        # the paper's train.sh recipe (trainer.py:522-566)
+        "viainput": dict(Density_normal_viainput=True, Normal_ondef=True,
+                         Density_ondef=True),
+    }[recipe]
 
     def log(msg):
         print(msg, flush=True)
@@ -244,8 +321,8 @@ def main():
                 synthetic=True, src_dataset="modelnet",
                 trgt_dataset="scannet", epochs=epochs, batch_size=B,
                 num_points=N, test_batch_size=32, seed=seed, out_path=d,
-                exp_name=f"ab2s_{seed}", apply_PCM=True,
-                DefRec_on_trgt=True,
+                exp_name=f"ab2s_{recipe}_{seed}", apply_PCM=True,
+                **recipe_flags,
             ).resolved()
             datasets = (
                 load_pointda("modelnet", cfg.dataroot, "train", N, True, seed),
@@ -262,8 +339,10 @@ def main():
             rows["torch"].append({"seed": seed, **th})
             log(f"== torch seed {seed}: {th}")
 
-    out = {"workload": f"PCM + target DefRec, modelnet->scannet synthetic, "
-                       f"N={N} B={B} epochs={epochs} max_train={max_train}",
+    out = {"recipe": recipe,
+           "workload": f"PCM + {recipe} target SSL, modelnet->scannet "
+                       f"synthetic, N={N} B={B} epochs={epochs} "
+                       f"max_train={max_train}",
            "per_seed": rows}
     for side in ("ours", "torch"):
         sv = [r["best_src_val_acc"] for r in rows[side]]
