@@ -174,7 +174,9 @@ def main() -> None:
     head_bf16 = os.environ.get("MLSP_BENCH_HEAD_F32", "") != "1"
     from mlsp_tpu.utils import chipcal
 
-    edge_cal = chipcal.edge_calibration()  # measured A/B, cached per chip
+    edge_cals = chipcal.edge_calibration()  # per-shape A/B, cached per chip
+    edge_cal = edge_cals.get("n1024_c64", {})  # flagship layer shape
+    edge_cal_seg = edge_cals.get("n2048_c64", {})  # seg operating point
     model = DGCNN(
         num_classes=10, k=20, knn_backend="auto",
         head_dtype=jnp.bfloat16 if head_bf16 else None,
@@ -285,6 +287,55 @@ def main() -> None:
     # the truth is in between, so report both fractions.
     roofline_frac = max(t_flops_bound, t_gather_bound) / t_step
     bound_sum_frac = (t_flops_bound + t_gather_bound) / t_step
+    # Self-consistent residual, from THIS run: whatever the two measured
+    # bounds don't account for (layout/copy/transpose traffic around the
+    # sparse ops, per the round-4 trace census in
+    # scripts/attrib_step_trace.py). flops + sparse + residual == t_step
+    # by construction; clamped at 0 when microbench jitter puts the
+    # bounds above the measured step.
+    t_residual = max(0.0, t_step - t_flops_bound - t_gather_bound)
+
+    # Whole-step full-rate projection (nominal v5e-1: 197 bf16 TFLOPS
+    # MXU, ~4T op/s VPU, 819 GB/s HBM) under the auto dispatch: both
+    # EdgeConv cores are projected from THIS run's per-stage account and
+    # the dispatch takes the min, exactly as chipcal's measured A/B
+    # would on that silicon. Assumptions (stated in PARITY.md, which
+    # separates this portable claim from this throttled chip):
+    #   * dense flops at the nominal MXU rate (bf16-dominant),
+    #   * non-MXU work (sparse rows, the fused kernel's VPU reductions)
+    #     scaled by the measured-vs-nominal throttle ratio — the VPU is
+    #     throttled in the same class as the MXU (round-3
+    #     perf_edge_micro); fused per-layer cost is linear in B
+    #     (calibrated at B=8),
+    #   * the measured residual scaled by the HBM headroom (streaming
+    #     already runs ~600 of 819 GB/s here).
+    # Uniform throttle scaling is ratio-preserving, so this projection
+    # is conservative for the fused path (its nominal-VPU roofline is
+    # ~1-2 ms/layer, round 3) — the min() keeps the claim honest.
+    throttle = tflops_bf16 / 197.0
+    projection = {}
+    if edge_cal:
+        t_flops_fr = flops_per_step / 197e12
+        t_resid_fr = t_residual * (600.0 / 819.0)
+        # moments dispatch: every sparse row survives, at throttle-scaled
+        # rates (XLA scatter = sort + segmented add: VPU work)
+        t_moments = t_flops_fr + t_gather_bound * throttle + t_resid_fr
+        # fused dispatch: EdgeConv rows vanish into 8 fused kernel
+        # instances; only the transform-net gather/scatter rows remain
+        cal_b = chipcal.SHAPES["n1024_c64"]["B"]
+        fused_layer_s = edge_cal["fused_ms"] / 1e3 * (B / cal_b) * throttle
+        rem_sparse_s = (2 * B * N * 20 / g_rows_s
+                        + 2 * B * N * 20 / s_rows_s) * throttle
+        t_fused = t_flops_fr + 8 * fused_layer_s + rem_sparse_s + t_resid_fr
+        # the auto dispatch on that silicon would measure and take the min
+        t_proj = min(t_moments, t_fused)
+        projection = {
+            "fullrate_clouds_per_sec_projected": round(B / t_proj, 1),
+            "fullrate_vs_baseline_projected": round(B / t_proj / TARGET, 3),
+            "fullrate_dispatch_projected": (
+                "moments" if t_moments <= t_fused else "fused"),
+            "fullrate_t_step_ms_projected": round(t_proj * 1e3, 2),
+        }
 
     clouds_per_sec = B / t_step
     print(json.dumps({
@@ -305,12 +356,13 @@ def main() -> None:
         "t_sparse_bound_ms": round(t_gather_bound * 1e3, 2),
         "roofline_frac": round(roofline_frac, 3),
         "bound_sum_frac": round(bound_sum_frac, 3),
-        # The ~7% the two bounds miss is LAYOUT traffic, attributed by
-        # device-trace census (scripts/attrib_step_trace.py, r4):
-        # reshape 23.4 + copy/transpose 13.4 ms/step on this chip, of
-        # which roughly half overlaps the bounds' phases. With it the
-        # account closes: flops + sparse + layout ~= t_step.
-        "t_layout_ms_attributed": 36.8,
+        # Residual measured from THIS run (t_step - flops - sparse,
+        # clamped at 0): the layout/copy/transpose long tail, per the
+        # trace census in scripts/attrib_step_trace.py. The account
+        # flops + sparse + residual == max(t_step, bounds) closes by
+        # construction.
+        "t_residual_ms": round(t_residual * 1e3, 2),
+        **projection,
         "eval_clouds_per_sec": round(B / t_eval, 1),
         "t_eval_ms": round(t_eval * 1e3, 2),
         "seg_clouds_per_sec": round(Bs / t_seg, 1),
@@ -329,6 +381,10 @@ def main() -> None:
         "edge_fused_fullrate_ms_projected": (
             round(edge_cal["fused_ms"] * tflops_bf16 / 197.0, 3)
             if edge_cal else None),
+        # the seg workload's own calibrated dispatch (N=2048 shape class)
+        "seg_edge_impl": edge_cal_seg.get("winner"),
+        "seg_edge_moments_ms": edge_cal_seg.get("moments_ms"),
+        "seg_edge_fused_ms": edge_cal_seg.get("fused_ms"),
     }))
 
 

@@ -40,6 +40,8 @@ def _str2bool(v: str) -> bool:
 
 def _add_config_args(parser: argparse.ArgumentParser, cls) -> None:
     for f in dataclasses.fields(cls):
+        if f.name.startswith("debug_"):
+            continue  # test-only instrumentation: no CLI surface
         arg = f"--{f.name}"
         if f.type in ("bool", bool):
             parser.add_argument(arg, type=_str2bool, default=_UNSET)
@@ -138,6 +140,13 @@ def main(argv=None) -> int:
                       default="pointda")
     p_dl.add_argument("--dataroot", default="./data")
 
+    p_cal = sub.add_parser(
+        "calibrate", help="measure this chip's EdgeConv moments-vs-fused "
+                          "A/B over the shape grid and cache the per-shape "
+                          "verdicts (resolves edge_impl='auto')")
+    p_cal.add_argument("--force", action="store_true",
+                       help="re-measure even if a cached record exists")
+
     args = parser.parse_args(argv)
     enable_cache()
 
@@ -207,6 +216,16 @@ def main(argv=None) -> int:
         fetch = (download.download_pointda if args.task == "pointda"
                  else download.download_pointsegda)
         print(f"dataset extracted under {fetch(args.dataroot)}")
+    elif args.command == "calibrate":
+        import json as _json
+
+        from mlsp_tpu.utils import chipcal
+
+        records = chipcal.edge_calibration(force=args.force)
+        if not records:
+            print("calibration unavailable (non-TPU backend and no cache)")
+            return 1
+        print(_json.dumps(records, indent=1))
     return 0
 
 

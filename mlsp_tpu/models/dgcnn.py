@@ -12,7 +12,6 @@ The reference's `activate_density_normal_ondef` == heads=("defrec",
 
 from __future__ import annotations
 
-import functools
 import typing as t
 
 import jax
@@ -205,22 +204,33 @@ class DGCNN(nn.Module):
         def knn_idx(feats):
             return knn_indices(feats, self.k, backend=self.knn_backend)
 
-        impl = self.edge_impl
-        if impl == "auto":
-            from mlsp_tpu.utils import chipcal
+        def layer(c_out, feats):
+            """One EdgeConv layer under the (possibly per-layer) dispatch.
 
-            impl = chipcal.edge_impl()
-        if impl == "fused":
-            EC = functools.partial(EdgeConvM, kernel_k=self.k)
-            knn_idx = lambda feats: None  # noqa: E731 — built in-kernel
-        elif impl == "moments":
-            EC = functools.partial(EdgeConvM, gather_dtype=self.gather_dtype)
-        else:
-            EC = EdgeConv
-        x1 = EC(64, dtype=dt)(x, knn_idx(x), train)
-        x2 = EC(64, dtype=dt)(x1, knn_idx(x1), train)
-        x3 = EC(128, dtype=dt)(x2, knn_idx(x2), train)
-        x4 = EC(256, dtype=dt)(x3, knn_idx(x3), train)
+            "auto" resolves PER LAYER SHAPE: the moments/fused ratio is
+            shape-dependent (utils/chipcal.py SHAPES grid), so on
+            near-crossover silicon the C=256 layer can pick a different
+            implementation than the C=64 ones.
+            """
+            impl = self.edge_impl
+            if impl == "auto":
+                from mlsp_tpu.utils import chipcal
+
+                impl = chipcal.edge_impl(n=N, c=feats.shape[-1])
+            if impl == "fused":
+                ec = EdgeConvM(c_out, kernel_k=self.k, dtype=dt)
+                return ec(feats, None, train)  # kNN built in-kernel
+            if impl == "moments":
+                ec = EdgeConvM(c_out, gather_dtype=self.gather_dtype,
+                               dtype=dt)
+            else:
+                ec = EdgeConv(c_out, dtype=dt)
+            return ec(feats, knn_idx(feats), train)
+
+        x1 = layer(64, x)
+        x2 = layer(64, x1)
+        x3 = layer(128, x2)
+        x4 = layer(256, x3)
 
         x_cat = jnp.concatenate([x1, x2, x3, x4], axis=-1)  # [B, N, 512]
         x5 = DenseBN(1024, "leakyrelu", use_bias=False, dtype=dt)(x_cat, train)

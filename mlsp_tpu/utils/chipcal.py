@@ -14,17 +14,26 @@ hardware affinities (round-3 analysis, CLAUDE.md):
 
 No static rule gets both chips right, so ``edge_impl="auto"`` (the
 DGCNN default) runs a ONE-TIME direct A/B of the two real layer
-implementations — one neighbourhood-statistics layer, forward+backward,
-at the flagship shape — and caches the verdict in
-``.jax_cache/chipcal.json`` keyed by the device kind. Timing follows the
-bench.py protocol (scanned chain ending in a value fetch; through the
-axon relay ``block_until_ready`` returns early).
+implementations — one neighbourhood-statistics layer, forward+backward —
+and caches the verdict in ``.jax_cache/chipcal.json`` keyed by the
+device kind. Timing follows the bench.py protocol (scanned chain ending
+in a value fetch; through the axon relay ``block_until_ready`` returns
+early).
+
+The A/B is SHAPE-AWARE (the moments/fused ratio is shape-dependent —
+round 3 measured fwd+bwd 71 vs 22.5 ms at C=64 but 75 vs 32 at C=256,
+and the seg model runs at N=2048): :data:`SHAPES` is the measured grid
+(the flagship layer, its widest C, and the seg shape), the cache holds
+one record per shape class, and :func:`edge_impl` resolves a concrete
+``(n, c)`` to the nearest measured class in log-space — so on
+near-crossover silicon different layers of the SAME model can get
+different verdicts. ``mlsp-tpu calibrate [--force]`` (re)runs the grid.
 
 Resolution rules:
 * non-TPU backend -> ``moments`` (the Pallas kernel is TPU-only);
-* cached verdict for this device kind -> use it;
-* no cache, outside any jax trace -> measure now (~1 min first-time
-  compile, cached persistently afterwards);
+* cached verdict for this device kind + nearest shape -> use it;
+* no cache, outside any jax trace -> measure now (~1 min per shape
+  first-time compile, cached persistently afterwards);
 * no cache, INSIDE a trace (a user jitting a model without prior
   calibration) -> ``moments`` with a one-time warning — measuring would
   require executing programs mid-trace. Trainers/bench/CLI call
@@ -34,11 +43,20 @@ Resolution rules:
 from __future__ import annotations
 
 import json
+import math
 import os
 import warnings
 
-_MEMO: dict[str, str] = {}
-_B, _N, _K, _C, _S = 8, 1024, 20, 64, 4
+_MEMO: dict[tuple[str, str], str] = {}
+_K, _S = 20, 4
+
+#: Measured shape-class grid: flagship cls layer, its widest layer, and
+#: the seg model's operating point (PointSegDA runs at N=2048).
+SHAPES: dict[str, dict] = {
+    "n1024_c64": dict(B=8, N=1024, C=64),
+    "n1024_c256": dict(B=8, N=1024, C=256),
+    "n2048_c64": dict(B=8, N=2048, C=64),
+}
 
 
 def _cache_path() -> str:
@@ -58,19 +76,37 @@ def _device_key() -> str:
 def _load_cache() -> dict:
     try:
         with open(_cache_path()) as f:
-            return json.load(f)
+            cache = json.load(f)
     except (OSError, ValueError):
         return {}
+    # Legacy format (round 4): one flat record per device, measured at
+    # the flagship shape. Adopt it as that shape's record.
+    for dev, rec in list(cache.items()):
+        if isinstance(rec, dict) and "winner" in rec:
+            cache[dev] = {"n1024_c64": rec}
+    return cache
 
 
-def measure_edge_impl() -> dict:
+def resolve_shape(records: dict, n: int, c: int) -> dict:
+    """Nearest measured shape class for a concrete layer (log-space
+    distance on (N, C)). Pure lookup — unit-testable without a TPU."""
+    def dist(key):
+        s = SHAPES.get(key)
+        if s is None:  # unknown legacy key: match anything, last resort
+            return float("inf")
+        return (abs(math.log(s["N"] / n)) + abs(math.log(s["C"] / c)))
+
+    key = min(records, key=dist)
+    return records[key]
+
+
+def measure_edge_impl(shape: str = "n1024_c64") -> dict:
     """Direct A/B of the two real edge implementations on this chip.
 
     One EdgeConvM-equivalent neighbourhood-statistics layer (kNN build +
     max/min/sum/sumsq over k neighbours — the fused kernel absorbs the
-    kNN build), forward+backward at B=8, N=1024, C=64, k=20 (the
-    flagship model's dominant layer shape). Returns
-    ``{"moments_ms", "fused_ms", "winner"}``.
+    kNN build), forward+backward at the given :data:`SHAPES` class.
+    Returns ``{"moments_ms", "fused_ms", "winner"}``.
     """
     import jax
     import jax.numpy as jnp
@@ -80,10 +116,12 @@ def measure_edge_impl() -> dict:
     from mlsp_tpu.ops.pallas.edge_pallas import edge_moments
     from mlsp_tpu.utils.timing import timed_fetch
 
+    dims = SHAPES[shape]
+    B, N, C = dims["B"], dims["N"], dims["C"]
     rng = np.random.default_rng(0)
-    xg = jnp.asarray(rng.standard_normal((_B, _N, _C)), jnp.float32)
-    u = jnp.asarray(rng.standard_normal((_B, _N, _C)), jnp.float32)
-    cot = jnp.asarray(rng.standard_normal((4, _B, _N, _C)), jnp.float32)
+    xg = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    u = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((4, B, N, C)), jnp.float32)
 
     def stats_moments(xg_, u_):
         idx = knn_indices(xg_, _K, backend="xla")
@@ -120,22 +158,27 @@ def measure_edge_impl() -> dict:
 
 
 def edge_calibration(force: bool = False) -> dict:
-    """The cached A/B record for this device kind, measuring if needed
-    (and allowed). Returns {} when measurement is impossible here."""
+    """The cached per-shape A/B records for this device kind, measuring
+    any missing shape class if needed (and allowed). Returns a dict
+    ``{shape_key: {"moments_ms", "fused_ms", "winner"}}``, or {} when
+    measurement is impossible here and nothing is cached."""
     import jax
 
     key = _device_key()
     cache = _load_cache()
-    if not force and key in cache:
-        return cache[key]
+    records = dict(cache.get(key, {})) if not force else {}
+    missing = [s for s in SHAPES if s not in records]
+    if not missing:
+        return records
     if jax.default_backend() != "tpu":
-        return {}
+        return records
     from jax._src import core as _core  # jax.core alias removed in 0.9
 
     if not _core.trace_state_clean():
-        return {}
-    rec = measure_edge_impl()
-    cache[key] = rec
+        return records
+    for shape in missing:
+        records[shape] = measure_edge_impl(shape)
+    cache[key] = records
     path = _cache_path()
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -143,27 +186,40 @@ def edge_calibration(force: bool = False) -> dict:
             json.dump(cache, f, indent=1)
     except OSError:
         pass  # read-only FS: the in-process memo still applies
-    _MEMO[key] = rec["winner"]
-    return rec
+    for shape, rec in records.items():
+        _MEMO[(key, shape)] = rec["winner"]
+    return records
 
 
-def edge_impl() -> str:
-    """Resolve ``edge_impl="auto"`` for the current default backend."""
+def edge_impl(n: int = 1024, c: int = 64) -> str:
+    """Resolve ``edge_impl="auto"`` for one concrete layer shape on the
+    current default backend."""
     import jax
 
     if jax.default_backend() != "tpu":
         return "moments"
     key = _device_key()
-    if key in _MEMO:
-        return _MEMO[key]
-    rec = edge_calibration()
-    if rec:
-        _MEMO[key] = rec["winner"]
-        return rec["winner"]
+
+    def dist(s):
+        dims = SHAPES[s]
+        return abs(math.log(dims["N"] / n)) + abs(math.log(dims["C"] / c))
+
+    shape = min(SHAPES, key=dist)
+    if (key, shape) in _MEMO:
+        return _MEMO[(key, shape)]
+    # A cached record for the nearest shape settles it — don't trigger
+    # measurement of OTHER missing shapes from a resolve.
+    records = _load_cache().get(key, {})
+    if shape not in records:
+        records = edge_calibration()
+    if records:
+        winner = resolve_shape(records, n, c)["winner"]
+        _MEMO[(key, shape)] = winner
+        return winner
     warnings.warn(
         "edge_impl='auto' resolved inside a jax trace with no cached "
         "chip calibration — defaulting to 'moments'. Call "
         "mlsp_tpu.utils.chipcal.edge_calibration() once outside jit "
         "(trainers/bench/CLI do) to calibrate this chip.", stacklevel=2)
-    _MEMO[key] = "moments"
+    _MEMO[(key, shape)] = "moments"
     return "moments"

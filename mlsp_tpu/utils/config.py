@@ -97,6 +97,9 @@ class PointDAConfig:
     head_dtype: str = "bf16"
     gather_dtype: str = ""
     scan_steps: int = 16  # train steps fused per device dispatch (1 = off)
+    # NB: debug_* fields are TEST-ONLY and constructor-only — from_dict
+    # (the YAML/CLI funnel) rejects them, so no user config can enable
+    # eval-mode-BN training or the aux taps by accident.
     debug_aux: bool = False  # train step also returns its internal
     # transform draws + raw grads in the metrics dict ("aux_*") — used by
     # the torch trajectory differential, which must feed the reference
@@ -425,10 +428,22 @@ def dgcnn_dtype_kwargs(cfg) -> dict:
 
 
 def from_dict(cls, d: dict):
+    """User-facing config funnel (YAML + CLI land here).
+
+    ``debug_*`` fields are test-only instrumentation — ``debug_bn_eval``
+    silently CHANGES training semantics (eval-mode BN inside the train
+    step) — so they are constructor-only: a YAML/CLI config naming one
+    is rejected, not adopted."""
     names = {f.name for f in dataclasses.fields(cls)}
     unknown = set(d) - names
     if unknown:
         raise ValueError(f"unknown config keys for {cls.__name__}: {sorted(unknown)}")
+    debug = sorted(k for k in d if k.startswith("debug_"))
+    if debug:
+        raise ValueError(
+            f"{debug} are test-only instrumentation fields and cannot be "
+            f"set from YAML/CLI (construct {cls.__name__} directly in a "
+            f"test if you need them)")
     return cls(**d)
 
 

@@ -28,6 +28,18 @@ import numpy as np
 import pytest
 
 
+def pytest_collection_modifyitems(config, items):
+    """Tiering: anything not marked slow/e2e is the `unit` fast tier.
+
+    `pytest -m unit` = fast per-change iteration (minutes);
+    `-m "not e2e"` adds the slow differentials; bare `pytest tests/`
+    runs everything (~full-suite budget, see CLAUDE.md).
+    """
+    for item in items:
+        if not any(m.name in ("slow", "e2e") for m in item.iter_markers()):
+            item.add_marker(pytest.mark.unit)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

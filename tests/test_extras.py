@@ -200,6 +200,31 @@ class TestConfigYaml:
         with pytest.raises(ValueError, match="nonsense_key"):
             load_yaml(PointDAConfig, str(tmp_path / "bad.yaml"))
 
+    def test_debug_fields_rejected_from_yaml_and_cli(self, tmp_path):
+        """debug_aux/debug_bn_eval are test-only instrumentation
+        (debug_bn_eval changes training semantics): constructor-only,
+        rejected by the YAML funnel and absent from the CLI surface."""
+        import argparse
+
+        from mlsp_tpu import cli
+        from mlsp_tpu.utils.config import (
+            PointDAConfig, PointSegDAConfig, load_yaml,
+        )
+
+        (tmp_path / "dbg.yaml").write_text("debug_bn_eval: true\n")
+        with pytest.raises(ValueError, match="test-only"):
+            load_yaml(PointDAConfig, str(tmp_path / "dbg.yaml"))
+        (tmp_path / "dbg2.yaml").write_text("debug_aux: true\n")
+        with pytest.raises(ValueError, match="test-only"):
+            load_yaml(PointSegDAConfig, str(tmp_path / "dbg2.yaml"))
+
+        p = argparse.ArgumentParser()
+        cli._add_config_args(p, PointDAConfig)
+        with pytest.raises(SystemExit):  # argparse: unrecognized argument
+            p.parse_args(["--debug_aux", "true"])
+        # direct construction (what tests do) still works
+        assert PointDAConfig(debug_aux=True).debug_aux
+
     def test_repo_configs_load(self):
         from mlsp_tpu.utils.config import PointDAConfig, load_yaml
 
@@ -435,6 +460,7 @@ class TestHengshuang:
             validate_seg_heads(bad)
 
 
+@pytest.mark.slow
 class TestCLIConfig:
     def test_yaml_config_run(self, tmp_path):
         from mlsp_tpu.cli import main
@@ -450,6 +476,7 @@ class TestCLIConfig:
         assert (tmp_path / "ycfg" / "Target_test_conf_mat.csv").exists()
 
 
+@pytest.mark.slow
 class TestEvalCLI:
     def test_eval_after_training(self, tmp_path):
         """Train tiny -> `mlsp-tpu eval` the saved checkpoint standalone."""

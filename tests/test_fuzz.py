@@ -13,6 +13,8 @@ import pytest
 
 from mlsp_tpu import ops
 
+pytestmark = pytest.mark.slow  # randomized many-shape compile sweeps
+
 from oracles import (
     ball_query_np,
     density_labels_np,

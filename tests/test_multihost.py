@@ -17,6 +17,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.e2e  # multi-process clusters
+
 
 
 def _free_port():

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-step compiles on the 8-device mesh (minutes)
+
 from mlsp_tpu.parallel import make_mesh, replicate, replicated_sharding, shard_batch
 
 

@@ -274,6 +274,7 @@ def _init_flax(model, heads, N=64):
     )(jax.random.key(0), jnp.zeros((1, N, 3), jnp.float32))
 
 
+@pytest.mark.slow
 class TestCollapseToPoint:
     """`volume_based_radius` deformation vs the reference's own
     `pc_utils.collapse_to_point` (dispatched by `MLSP/mlsp.py:33-35`).
@@ -363,6 +364,7 @@ class TestCollapseToPoint:
         assert abs(blob.std() / deform.GAUSS_STD - 1.0) < 0.1
 
 
+@pytest.mark.slow
 class TestForwardEquivalence:
     """Full forward equality vs the reference's own torch modules through a
     state_dict import — the strongest offline accuracy-parity evidence."""
@@ -441,6 +443,7 @@ class TestForwardEquivalence:
             want["density_mse"].numpy(), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 class TestPointTransformerImport:
     """Reference `PointTransformer` checkpoint -> our model: full
     cls-path forward equivalence through `import_point_transformer`
@@ -617,6 +620,7 @@ class TestHengshuangBlock:
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 class TestHengshuangImport:
     """Reference hengshuang checkpoints -> our models: full forward
     equivalence through `import_hengshuang` (Def variant cls+DefRec,
@@ -689,6 +693,7 @@ class TestHengshuangImport:
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 class TestGroupEncoders:
     """`GroupEncoder` / `RelativeGroupEncoder` vs the reference's own
     `Encoder` / `Relative_Encoder` (`model_utils.py:292-399`, pure torch)
@@ -882,6 +887,7 @@ class TestImportDiagnostics:
             sd["C.mlp3.weight"].numpy().T)
 
 
+@pytest.mark.slow
 class TestTrajectory:
     """Multi-step train-TRAJECTORY differential vs the reference trainer.
 

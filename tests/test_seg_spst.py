@@ -10,6 +10,8 @@ from mlsp_tpu.models import DGCNNSeg
 from mlsp_tpu.train import create_train_state, seg_steps
 from mlsp_tpu.utils.config import PointSegDAConfig, SPSTConfig
 
+pytestmark = pytest.mark.e2e  # full trainer loops, multi-minute
+
 B, N = 4, 64
 
 

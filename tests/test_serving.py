@@ -11,6 +11,8 @@ from mlsp_tpu import serving
 from mlsp_tpu.models import make_model
 from mlsp_tpu.train.state import create_train_state
 
+pytestmark = pytest.mark.slow  # AOT bundle lowering (cpu+tpu programs)
+
 B, N = 4, 64
 
 

@@ -425,6 +425,7 @@ class TestExportPointTransformer:
                                    rtol=1e-2, atol=5e-3)
 
 
+@pytest.mark.slow
 class TestExportedModelTrains:
     """'Train here, deploy there' must include further TRAINING there:
     an exported checkpoint dropped into the reference stack has to be
@@ -461,6 +462,7 @@ class TestExportedModelTrains:
         assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 class TestSPSTFinetuneTrajectory:
     """The SPST fine-tune loop vs a faithful torch replication of
     `train_spst.py:472-501`: CE on pseudo-labeled target (spl_weight) +
@@ -644,6 +646,7 @@ class TestSPSTFinetuneTrajectory:
                 err_msg=jax.tree_util.keystr(kp))
 
 
+@pytest.mark.slow
 class TestSPSTSelectionParity:
     """SPST pseudo-label selection vs the REFERENCE'S OWN code.
 
@@ -746,6 +749,7 @@ class TestSPSTSelectionParity:
             pcs, np.stack([p.T for p in ref_pcs]))
 
 
+@pytest.mark.slow
 class TestExportCLI:
     def test_export_subcommand_end_to_end(self, tmp_path, rng):
         """native .ckpt -> `mlsp-tpu export` -> reference strict load ->

@@ -13,6 +13,8 @@ from mlsp_tpu.models import DGCNN, PointNet
 from mlsp_tpu.train import create_train_state, steps
 from mlsp_tpu.utils.config import PointDAConfig
 
+pytestmark = pytest.mark.e2e  # full trainer loops, multi-minute
+
 B, N = 8, 64
 
 
