@@ -312,7 +312,7 @@ def main():
                 batch_size=B, num_points=N, test_batch_size=32, seed=seed,
                 out_path=d, exp_name=f"abspst_{seed}", apply_PCM=True,
                 threshold=THRESH, use_entropy_selection=True,
-            ).resolved()
+            )
             ours = _ours(cfg, datasets, pre_state)
             rows["ours"].append({"seed": seed, **ours})
             _log(f"== ours  seed {seed}: {ours}")
