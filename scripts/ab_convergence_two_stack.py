@@ -59,6 +59,7 @@ max_train=128 (~3 h, almost all of it torch). Round-5 adds
 """
 
 import json
+import os
 import statistics
 import sys
 import tempfile
@@ -303,6 +304,9 @@ def main():
     B = int(sys.argv[4]) if len(sys.argv) > 4 else 16
     max_train = int(sys.argv[5]) if len(sys.argv) > 5 else 128
     recipe = sys.argv[6] if len(sys.argv) > 6 else "pcm_defrec"
+    # AB_SIDES=ours (or torch) runs one stack only — used to widen the
+    # cheap side's seed count without re-paying ~100 min/seed of torch.
+    sides = os.environ.get("AB_SIDES", "ours,torch").split(",")
     recipe_flags = {
         # trainer.py:463-475 (round-4 core recipe)
         "pcm_defrec": dict(DefRec_on_trgt=True),
@@ -332,12 +336,14 @@ def main():
             for d in datasets[:2]:  # symmetric train subsample
                 d.train_ind = d.train_ind[:max_train]
             init_sd = _export_trainer_init(cfg)
-            ours = _ours(cfg, datasets)
-            rows["ours"].append({"seed": seed, **ours})
-            log(f"== ours  seed {seed}: {ours}")
-            th = _torch(cfg, datasets, init_sd, log)
-            rows["torch"].append({"seed": seed, **th})
-            log(f"== torch seed {seed}: {th}")
+            if "ours" in sides:
+                ours = _ours(cfg, datasets)
+                rows["ours"].append({"seed": seed, **ours})
+                log(f"== ours  seed {seed}: {ours}")
+            if "torch" in sides:
+                th = _torch(cfg, datasets, init_sd, log)
+                rows["torch"].append({"seed": seed, **th})
+                log(f"== torch seed {seed}: {th}")
 
     out = {"recipe": recipe,
            "workload": f"PCM + {recipe} target SSL, modelnet->scannet "
@@ -345,6 +351,8 @@ def main():
                        f"max_train={max_train}",
            "per_seed": rows}
     for side in ("ours", "torch"):
+        if not rows[side]:
+            continue
         sv = [r["best_src_val_acc"] for r in rows[side]]
         tt = [r["trgt_test_acc"] for r in rows[side]]
         out[side] = {
