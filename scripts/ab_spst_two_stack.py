@@ -43,6 +43,7 @@ Round-5 run: 12 2 5 1,2 512 16 128.
 """
 
 import json
+import os
 import statistics
 import sys
 import tempfile
@@ -283,7 +284,10 @@ def main():
     N = int(sys.argv[5]) if len(sys.argv) > 5 else 512
     B = int(sys.argv[6]) if len(sys.argv) > 6 else 16
     max_train = int(sys.argv[7]) if len(sys.argv) > 7 else 128
-    THRESH = 1.6365  # 0.9-max-prob entropy equivalent (train_spst.py:240)
+    # 0.9-max-prob entropy equivalent (train_spst.py:240); env override
+    # exists for smoke runs (log(10)=2.303 selects everything so the
+    # fine-tune loop is exercised even from a barely-trained ckpt)
+    THRESH = float(os.environ.get("AB_SPST_THRESH", "1.6365"))
 
     rows = {"ours": [], "torch": []}
     for seed in seeds:
