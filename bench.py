@@ -157,6 +157,57 @@ def step_sparse_rows(B, N, k, near):
     return gather_rows, scatter_rows
 
 
+def project_fullrate(*, flops_per_step, t_gather_bound, t_residual,
+                     g_rows_s, s_rows_s, tflops_bf16, B, N, edge_cal,
+                     cal_b, k=20, target=TARGET):
+    """Whole-step full-rate projection (nominal v5e-1: 197 bf16 TFLOPS
+    MXU, ~4T op/s VPU, 819 GB/s HBM) under the auto dispatch: both
+    EdgeConv cores are projected from THIS run's measured per-stage
+    account and the dispatch takes the min, exactly as chipcal's
+    measured A/B would on that silicon. Assumptions (stated in
+    PARITY.md, which separates this portable claim from this throttled
+    chip):
+      * dense flops at the nominal MXU rate (bf16-dominant),
+      * non-MXU work (sparse rows, the fused kernel's VPU reductions)
+        scaled by the measured-vs-nominal throttle ratio — the VPU is
+        throttled in the same class as the MXU (round-3
+        perf_edge_micro); fused per-layer cost is linear in B
+        (edge_cal measured at B=cal_b),
+      * the measured residual scaled by the HBM headroom (streaming
+        already runs ~600 of 819 GB/s here).
+    Uniform throttle scaling is ratio-preserving, so this projection is
+    conservative for the fused path (its nominal-VPU roofline is
+    ~1-2 ms/layer, round 3) — the min() keeps the claim honest.
+
+    Pure function of this run's measurements; unit-tested in
+    tests/test_bench_projection.py. Returns {} when no calibration
+    record exists (chip A/B unavailable).
+    """
+    if not edge_cal:
+        return {}
+    throttle = tflops_bf16 / 197.0
+    t_flops_fr = flops_per_step / 197e12
+    t_resid_fr = t_residual * (600.0 / 819.0)
+    # moments dispatch: every sparse row survives, at throttle-scaled
+    # rates (XLA scatter = sort + segmented add: VPU work)
+    t_moments = t_flops_fr + t_gather_bound * throttle + t_resid_fr
+    # fused dispatch: EdgeConv rows vanish into 8 fused kernel
+    # instances; only the transform-net gather/scatter rows remain
+    fused_layer_s = edge_cal["fused_ms"] / 1e3 * (B / cal_b) * throttle
+    rem_sparse_s = (2 * B * N * k / g_rows_s
+                    + 2 * B * N * k / s_rows_s) * throttle
+    t_fused = t_flops_fr + 8 * fused_layer_s + rem_sparse_s + t_resid_fr
+    # the auto dispatch on that silicon would measure and take the min
+    t_proj = min(t_moments, t_fused)
+    return {
+        "fullrate_clouds_per_sec_projected": round(B / t_proj, 1),
+        "fullrate_vs_baseline_projected": round(B / t_proj / target, 3),
+        "fullrate_dispatch_projected": (
+            "moments" if t_moments <= t_fused else "fused"),
+        "fullrate_t_step_ms_projected": round(t_proj * 1e3, 2),
+    }
+
+
 def main() -> None:
     from mlsp_tpu.utils.cache import enable as _enable_cache
 
@@ -295,47 +346,11 @@ def main() -> None:
     # bounds above the measured step.
     t_residual = max(0.0, t_step - t_flops_bound - t_gather_bound)
 
-    # Whole-step full-rate projection (nominal v5e-1: 197 bf16 TFLOPS
-    # MXU, ~4T op/s VPU, 819 GB/s HBM) under the auto dispatch: both
-    # EdgeConv cores are projected from THIS run's per-stage account and
-    # the dispatch takes the min, exactly as chipcal's measured A/B
-    # would on that silicon. Assumptions (stated in PARITY.md, which
-    # separates this portable claim from this throttled chip):
-    #   * dense flops at the nominal MXU rate (bf16-dominant),
-    #   * non-MXU work (sparse rows, the fused kernel's VPU reductions)
-    #     scaled by the measured-vs-nominal throttle ratio — the VPU is
-    #     throttled in the same class as the MXU (round-3
-    #     perf_edge_micro); fused per-layer cost is linear in B
-    #     (calibrated at B=8),
-    #   * the measured residual scaled by the HBM headroom (streaming
-    #     already runs ~600 of 819 GB/s here).
-    # Uniform throttle scaling is ratio-preserving, so this projection
-    # is conservative for the fused path (its nominal-VPU roofline is
-    # ~1-2 ms/layer, round 3) — the min() keeps the claim honest.
-    throttle = tflops_bf16 / 197.0
-    projection = {}
-    if edge_cal:
-        t_flops_fr = flops_per_step / 197e12
-        t_resid_fr = t_residual * (600.0 / 819.0)
-        # moments dispatch: every sparse row survives, at throttle-scaled
-        # rates (XLA scatter = sort + segmented add: VPU work)
-        t_moments = t_flops_fr + t_gather_bound * throttle + t_resid_fr
-        # fused dispatch: EdgeConv rows vanish into 8 fused kernel
-        # instances; only the transform-net gather/scatter rows remain
-        cal_b = chipcal.SHAPES["n1024_c64"]["B"]
-        fused_layer_s = edge_cal["fused_ms"] / 1e3 * (B / cal_b) * throttle
-        rem_sparse_s = (2 * B * N * 20 / g_rows_s
-                        + 2 * B * N * 20 / s_rows_s) * throttle
-        t_fused = t_flops_fr + 8 * fused_layer_s + rem_sparse_s + t_resid_fr
-        # the auto dispatch on that silicon would measure and take the min
-        t_proj = min(t_moments, t_fused)
-        projection = {
-            "fullrate_clouds_per_sec_projected": round(B / t_proj, 1),
-            "fullrate_vs_baseline_projected": round(B / t_proj / TARGET, 3),
-            "fullrate_dispatch_projected": (
-                "moments" if t_moments <= t_fused else "fused"),
-            "fullrate_t_step_ms_projected": round(t_proj * 1e3, 2),
-        }
+    projection = project_fullrate(
+        flops_per_step=flops_per_step, t_gather_bound=t_gather_bound,
+        t_residual=t_residual, g_rows_s=g_rows_s, s_rows_s=s_rows_s,
+        tflops_bf16=tflops_bf16, B=B, N=N, edge_cal=edge_cal,
+        cal_b=chipcal.SHAPES["n1024_c64"]["B"])
 
     clouds_per_sec = B / t_step
     print(json.dumps({
