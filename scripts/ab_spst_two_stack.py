@@ -21,9 +21,17 @@ Composition (train.sh stage 2: `train_spst.py --round=2 --epochs=20
          the ONCE-constructed CosineAnnealingLR stepped across rounds
          (cyclic; ours reproduces it with the epoch-indexed injected
          LR). Model selection on best source-val accuracy.
-Threshold 1.6365 (the reference's own 0.9-max-prob entropy equivalent,
-train_spst.py:240-242): short synthetic runs never reach the paper's
-0.95-equivalent 1.5492, which would make every round degenerate.
+Threshold: the paper's 0.95-max-prob 1.5492 and even the 0.9 equivalent
+1.6365 (train_spst.py:240-242) are degenerate at this synthetic scale —
+a measured entropy probe of the shared pretrained model on the 128
+target-train clouds (round 5): 12-epoch pretrain selects 0/128 at
+1.6365 (min entropy 1.80); 30-epoch pretrain (src_val 0.94, trgt_test
+0.875) selects 2/128 at 1.6365, 36/128 at 1.9, 71/128 at 2.0. The
+round-5 run therefore uses pre_epochs=30 with AB_SPST_THRESH=1.9: the
+round-0 selection (identical weights on both stacks) is a nontrivial
+strict subset, so the A/B actually exercises selection + fine-tune
+rather than the documented degenerate-round divergence. The threshold
+is shared by both stacks, so the comparison is unaffected by its value.
 
 Data protocol is NORMALIZED across stacks so the comparison isolates
 the training stack: selection and val/test run on raw (un-augmented)
@@ -39,7 +47,7 @@ not apply) and keeps the torch side ~4x cheaper than N=1024.
 Run:
     PYTHONPATH=.:$PYTHONPATH python scripts/ab_spst_two_stack.py \
         [pre_epochs] [rounds] [epochs] [seeds-csv] [num_points] [batch] [max_train]
-Round-5 run: 12 2 5 1,2 512 16 128.
+Round-5 run: AB_SPST_THRESH=1.9 ... 30 2 5 1,2 512 16 128.
 """
 
 import json
