@@ -157,9 +157,10 @@ def step_sparse_rows(B, N, k, near):
     return gather_rows, scatter_rows
 
 
-def project_fullrate(*, flops_per_step, t_gather_bound, t_residual,
-                     g_rows_s, s_rows_s, tflops_bf16, B, N, edge_cal,
-                     cal_b, k=20, target=TARGET):
+def project_fullrate(*, flops_per_step, gather_rows, scatter_rows,
+                     t_residual, g_rows_s, s_rows_s, tflops_bf16, batch,
+                     edge_rows, n_edge_layers, edge_cal, cal_b,
+                     target=TARGET, prefix="fullrate"):
     """Whole-step full-rate projection (nominal v5e-1: 197 bf16 TFLOPS
     MXU, ~4T op/s VPU, 819 GB/s HBM) under the auto dispatch: both
     EdgeConv cores are projected from THIS run's measured per-stage
@@ -179,6 +180,13 @@ def project_fullrate(*, flops_per_step, t_gather_bound, t_residual,
     conservative for the fused path (its nominal-VPU roofline is
     ~1-2 ms/layer, round 3) — the min() keeps the claim honest.
 
+    Generalised over workloads: ``gather_rows``/``scatter_rows`` are the
+    step's total sparse rows, of which the fused dispatch eliminates
+    ``n_edge_layers`` EdgeConvM instances of ``edge_rows`` (= B*N*k)
+    gather rows each plus their backward scatters (whichever of the
+    two actually exist — remainders clamp at 0). ``prefix`` names the
+    emitted JSON fields (``fullrate_*`` / ``seg_fullrate_*``).
+
     Pure function of this run's measurements; unit-tested in
     tests/test_bench_projection.py. Returns {} when no calibration
     record exists (chip A/B unavailable).
@@ -190,22 +198,30 @@ def project_fullrate(*, flops_per_step, t_gather_bound, t_residual,
     t_resid_fr = t_residual * (600.0 / 819.0)
     # moments dispatch: every sparse row survives, at throttle-scaled
     # rates (XLA scatter = sort + segmented add: VPU work)
-    t_moments = t_flops_fr + t_gather_bound * throttle + t_resid_fr
-    # fused dispatch: EdgeConv rows vanish into 8 fused kernel
-    # instances; only the transform-net gather/scatter rows remain
-    fused_layer_s = edge_cal["fused_ms"] / 1e3 * (B / cal_b) * throttle
-    rem_sparse_s = (2 * B * N * k / g_rows_s
-                    + 2 * B * N * k / s_rows_s) * throttle
-    t_fused = t_flops_fr + 8 * fused_layer_s + rem_sparse_s + t_resid_fr
+    t_sparse = gather_rows / g_rows_s + scatter_rows / s_rows_s
+    t_moments = t_flops_fr + t_sparse * throttle + t_resid_fr
+    # fused dispatch: each EdgeConvM instance's gather + backward
+    # scatter rows vanish into a fused kernel instance; only the
+    # non-EdgeConv rows (transform-net coord gathers, FPS/chamfer ops)
+    # remain
+    fused_layer_s = edge_cal["fused_ms"] / 1e3 * (batch / cal_b) * throttle
+    rem_g = max(0.0, gather_rows - n_edge_layers * edge_rows)
+    rem_s = max(0.0, scatter_rows - n_edge_layers * edge_rows)
+    rem_sparse_s = (rem_g / g_rows_s + rem_s / s_rows_s) * throttle
+    t_fused = (t_flops_fr + n_edge_layers * fused_layer_s + rem_sparse_s
+               + t_resid_fr)
     # the auto dispatch on that silicon would measure and take the min
     t_proj = min(t_moments, t_fused)
-    return {
-        "fullrate_clouds_per_sec_projected": round(B / t_proj, 1),
-        "fullrate_vs_baseline_projected": round(B / t_proj / target, 3),
-        "fullrate_dispatch_projected": (
+    out = {
+        f"{prefix}_clouds_per_sec_projected": round(batch / t_proj, 1),
+        f"{prefix}_dispatch_projected": (
             "moments" if t_moments <= t_fused else "fused"),
-        "fullrate_t_step_ms_projected": round(t_proj * 1e3, 2),
+        f"{prefix}_t_step_ms_projected": round(t_proj * 1e3, 2),
     }
+    if target is not None:  # the seg workload has no published north star
+        out[f"{prefix}_vs_baseline_projected"] = round(
+            batch / t_proj / target, 3)
+    return out
 
 
 def main() -> None:
@@ -307,6 +323,31 @@ def main() -> None:
     seg_sxs = jnp.asarray(rng.standard_normal((Ss, Bs, Ns, 3)), jnp.float32)
     seg_sys = jnp.asarray(rng.integers(0, 8, (Ss, Bs, Ns)))
     seg_txs = jnp.asarray(rng.standard_normal((Ss, Bs, Ns, 3)), jnp.float32)
+    # seg single-step program: XLA flop count + HLO sparse census (the
+    # seg step has no hand-derived row account like step_sparse_rows;
+    # the census measures the ACTUAL lowered gather/scatter rows —
+    # round-3 audit: ~21 gathers + 9 scatters of Bs*Ns*k rows each).
+    from mlsp_tpu.utils.profiling import (costing_gather_rows,
+                                          hlo_sparse_census, shape_rows)
+
+    seg_compiled = seg_steps.pointsegda_train_step.lower(
+        seg_state, seg_sxs[0], seg_sys[0], seg_txs[0], key, seg_cfg
+    ).compile()
+    seg_ca = seg_compiled.cost_analysis()
+    seg_ca = seg_ca[0] if isinstance(seg_ca, list) else (seg_ca or {})
+    seg_flops = float(seg_ca.get("flops", 0.0))
+    _, seg_s_rows, seg_gather_census, seg_scatter_census = hlo_sparse_census(
+        seg_compiled.as_text())
+    # costing rows only: the flat rank-2 EdgeConv-backward re-gathers
+    # fuse and do not pay the standalone row rate (see
+    # profiling.costing_gather_rows — raw census over-prices by ~20%)
+    seg_g_rows = costing_gather_rows(seg_gather_census)
+    # each EdgeConvM instance backward = exactly one scatter of
+    # Bs*Ns*k update rows; count them for the fused-dispatch projection
+    seg_edge_rows = Bs * Ns * seg_model.k
+    n_edge_seg = sum(c for s, c in seg_scatter_census.items()
+                     if shape_rows(s) == seg_edge_rows)
+
     seg_state, seg_ms, _ = seg_steps.pointsegda_train_scan(
         seg_state, seg_sxs, seg_sys, seg_txs, key, seg_cfg)
     float(seg_ms["total"][-1])  # compile + warm
@@ -347,10 +388,34 @@ def main() -> None:
     t_residual = max(0.0, t_step - t_flops_bound - t_gather_bound)
 
     projection = project_fullrate(
-        flops_per_step=flops_per_step, t_gather_bound=t_gather_bound,
-        t_residual=t_residual, g_rows_s=g_rows_s, s_rows_s=s_rows_s,
-        tflops_bf16=tflops_bf16, B=B, N=N, edge_cal=edge_cal,
+        flops_per_step=flops_per_step, gather_rows=g_rows,
+        scatter_rows=s_rows, t_residual=t_residual, g_rows_s=g_rows_s,
+        s_rows_s=s_rows_s, tflops_bf16=tflops_bf16, batch=B,
+        edge_rows=B * N * 20, n_edge_layers=8, edge_cal=edge_cal,
         cal_b=chipcal.SHAPES["n1024_c64"]["B"])
+
+    # seg-step roofline account: costing census rows priced at rates
+    # microbenched AT THE SEG SHAPE (B=16, N=2048, C=64; measured
+    # within ~2% of the flagship-shape rates — the rows/s model really
+    # is ~flat — but shape-matched is the honest default).
+    (seg_g_rows_s, _), (seg_s_rows_s, _) = measure_gather_scatter(
+        B=Bs, N=Ns, k=seg_model.k, C=64)
+    t_seg_flops_bound = seg_flops / (tflops_f32 * 1e12)
+    t_seg_sparse_bound = (seg_g_rows / seg_g_rows_s
+                          + seg_s_rows / seg_s_rows_s)
+    t_seg_residual = max(0.0, t_seg - t_seg_flops_bound - t_seg_sparse_bound)
+    seg_projection = project_fullrate(
+        flops_per_step=seg_flops, gather_rows=seg_g_rows,
+        scatter_rows=seg_s_rows, t_residual=t_seg_residual,
+        g_rows_s=seg_g_rows_s, s_rows_s=seg_s_rows_s,
+        tflops_bf16=tflops_bf16, batch=Bs, edge_rows=seg_edge_rows,
+        n_edge_layers=n_edge_seg, edge_cal=edge_cal_seg,
+        cal_b=chipcal.SHAPES["n2048_c64"]["B"], target=None,
+        prefix="seg_fullrate")
+    # dict-literal duplicate keys overwrite silently — make a prefix
+    # mistake loud instead (it once halved the flagship projection)
+    assert not set(projection) & set(seg_projection), (
+        "projection field collision", projection, seg_projection)
 
     clouds_per_sec = B / t_step
     print(json.dumps({
@@ -382,6 +447,20 @@ def main() -> None:
         "t_eval_ms": round(t_eval * 1e3, 2),
         "seg_clouds_per_sec": round(Bs / t_seg, 1),
         "t_seg_step_ms": round(t_seg * 1e3, 2),
+        # seg account: census-derived rows (ACTUAL lowered HLO), same
+        # same-run closure property as the flagship account
+        "seg_flops_per_step": round(seg_flops / 1e9, 1),
+        "seg_gather_Mrows": round(seg_g_rows / 1e6, 2),
+        "seg_scatter_Mrows": round(seg_s_rows / 1e6, 2),
+        "seg_gather_Mrows_s": round(seg_g_rows_s / 1e6, 1),
+        "seg_scatter_Mrows_s": round(seg_s_rows_s / 1e6, 1),
+        "seg_edge_layers": n_edge_seg,
+        "t_seg_flops_bound_ms": round(t_seg_flops_bound * 1e3, 2),
+        "t_seg_sparse_bound_ms": round(t_seg_sparse_bound * 1e3, 2),
+        "seg_bound_sum_frac": round(
+            (t_seg_flops_bound + t_seg_sparse_bound) / t_seg, 3),
+        "t_seg_residual_ms": round(t_seg_residual * 1e3, 2),
+        **seg_projection,
         "head_dtype": "bf16" if head_bf16 else "f32",
         # chip-calibrated EdgeConv dispatch (utils/chipcal.py): the
         # measured per-layer A/B and the winner "auto" resolved to.

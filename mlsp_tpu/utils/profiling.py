@@ -26,6 +26,76 @@ def log_execution_time(func):
     return wrapper
 
 
+def shape_rows(shape: str) -> int:
+    """ROW count of an HLO shape string "d0,d1,...,dn": the product of
+    all dims but the last (the sparse-op cost unit). "?" (an operand the
+    definition table could not resolve) counts 0 but stays visible in
+    the census."""
+    if shape == "?":
+        return 0
+    dims = [int(d) for d in shape.split(",")]
+    if len(dims) > 1:
+        rows = 1
+        for d in dims[:-1]:
+            rows *= d
+        return rows
+    return dims[0]
+
+
+def hlo_sparse_census(hlo: str):
+    """Census of every gather/scatter in an optimized HLO dump.
+
+    The sparse-op cost model on TPU is ROWS/s (flat in channel width to
+    C~256 — see CLAUDE.md): a gather's cost rows are its OUTPUT rows
+    (prod of all dims but the last), a scatter's are its UPDATES-operand
+    rows (operand 2) — NOT the output buffer shape — resolved through a
+    definition table because optimized HLO names operands without
+    inline shapes.
+
+    Returns ``(gather_rows, scatter_rows, gather_census,
+    scatter_census)`` where the censuses map shape-string -> op count.
+    Pure text analysis (unit-tested in tests/test_bench_projection.py);
+    used by bench.py's seg-step account and
+    scripts/profile_seg_step.py.
+    """
+    import re
+    from collections import Counter
+
+    gathers, scatters = Counter(), Counter()
+    for m in re.finditer(r"= \w+\[([\d,]+)\]\{[^}]*\} gather\(", hlo):
+        gathers[m.group(1)] += 1
+    defs = {m.group(1): m.group(2) for m in re.finditer(
+        r"%([\w.-]+) = \w+\[([\d,]+)\]", hlo)}
+    for m in re.finditer(r" scatter\(%([\w.-]+), %([\w.-]+), %([\w.-]+)\)",
+                         hlo):
+        scatters[defs.get(m.group(3), "?")] += 1
+
+    g_rows = sum(shape_rows(s) * c for s, c in gathers.items())
+    s_rows = sum(shape_rows(s) * c for s, c in scatters.items())
+    return g_rows, s_rows, dict(gathers), dict(scatters)
+
+
+def costing_gather_rows(gather_census: dict, min_rank: int = 3) -> int:
+    """Row count of the gathers that PAY the standalone row rate.
+
+    The raw census over-prices the step by ~20% on BOTH bench
+    workloads: each EdgeConvM backward materializes, besides its
+    scatter, a FLAT rank-2 ``[B*N*k, C]`` re-gather that XLA fuses into
+    the surrounding computation (measured round 5: the flat-gather op
+    count equals the scatter count on both the PointDA and seg steps,
+    and pricing them at the microbenched row rate puts the "bound"
+    above the measured step). The batched rank>=3 ``[B, N, k, C]``
+    forms are the ops the round-2/3 per-op profile showed actually
+    paying per-row cost (10 gathers + 8 scatters = the 18 measured
+    sparse ops of the PointDA step). Filtering to rank >= ``min_rank``
+    reproduces that validated count and makes the census-priced
+    account close against the measured step (seg: 0.98 vs 1.23
+    unfiltered).
+    """
+    return sum(shape_rows(s) * c for s, c in gather_census.items()
+               if len(s.split(",")) >= min_rank)
+
+
 @contextlib.contextmanager
 def device_trace(logdir: str = "/tmp/mlsp_trace"):
     """Capture an XLA/TPU profiler trace around a block."""

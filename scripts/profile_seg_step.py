@@ -5,16 +5,18 @@ Reports the XLA flop count, an HLO census of every gather/scatter with
 its ROW count (the sparse-op cost model on this chip is rows/s — see
 CLAUDE.md), and the resulting flops/sparse bounds next to the measured
 step time. Round-3 finding: like the PointDA step, the seg step sits at
-the XLA sparse floor — ~21 gathers + 9 scatters of B*N*k rows dominate,
-and the row count is fixed by the architecture.
+the XLA sparse floor — the B*N*k-row gathers and 9 scatters dominate,
+and the row count is fixed by the architecture. Round-5 refinement: of
+the ~21 census gathers only the 12 rank>=3 batched forms pay the
+standalone row rate (the 9 flat re-gathers fuse — one per EdgeConvM
+backward, matching the scatter count); the bound prices those 12 + the
+scatters and then closes against the measured step (~0.98).
 
 Run on the TPU chip: python scripts/profile_seg_step.py
 """
 
 import json
-import re
 import time
-from collections import Counter
 
 import jax
 import jax.numpy as jnp
@@ -57,27 +59,17 @@ def main():
     ca = ca[0] if isinstance(ca, list) else (ca or {})
     flops = float(ca.get("flops", 0.0))
 
-    # HLO census: one entry per gather/scatter with its row count. For
-    # scatter the COST rows are the update rows (operand 2), not the
-    # output buffer shape.
-    hlo = compiled.as_text()
-    gathers, scatters = Counter(), Counter()
-    for m in re.finditer(r"= \w+\[([\d,]+)\]\{[^}]*\} gather\(", hlo):
-        gathers[m.group(1)] += 1
-    # optimized HLO names operands without inline shapes: resolve the
-    # updates operand (3rd) through a definition table
-    defs = {m.group(1): m.group(2) for m in re.finditer(
-        r"%([\w.-]+) = \w+\[([\d,]+)\]", hlo)}
-    for m in re.finditer(r" scatter\(%([\w.-]+), %([\w.-]+), %([\w.-]+)\)",
-                         hlo):
-        scatters[defs.get(m.group(3), "?")] += 1
+    # HLO census: one entry per gather/scatter with its row count
+    # (shared with bench.py's seg account — utils/profiling.py). The
+    # sparse bound prices only the COSTING gathers (rank>=3 batched
+    # forms): the flat rank-2 EdgeConv-backward re-gathers fuse and
+    # pricing them at the standalone row rate puts the "bound" ~20%
+    # above the measured step (see profiling.costing_gather_rows).
+    from mlsp_tpu.utils.profiling import costing_gather_rows, hlo_sparse_census
 
-    def rows(shape):
-        dims = [int(d) for d in shape.split(",")]
-        return int(np.prod(dims[:-1])) if len(dims) > 1 else dims[0]
-
-    g_rows = sum(rows(s) * c for s, c in gathers.items())
-    s_rows = sum(rows(s) * c for s, c in scatters.items())
+    g_rows_raw, s_rows, gathers, scatters = hlo_sparse_census(
+        compiled.as_text())
+    g_rows = costing_gather_rows(gathers)
 
     # measured step time: scanned program + forced fetch
     sxs = jnp.asarray(rng.standard_normal((Ss, Bs, Ns, 3)), jnp.float32)
@@ -103,6 +95,7 @@ def main():
         "flops_GF": round(flops / 1e9, 1),
         "gather_ops": sum(gathers.values()),
         "gather_Mrows": round(g_rows / 1e6, 2),
+        "gather_Mrows_raw": round(g_rows_raw / 1e6, 2),
         "scatter_ops": sum(scatters.values()),
         "scatter_Mrows": round(s_rows / 1e6, 2),
         "t_flops_bound_ms": round(t_flops * 1e3, 1),

@@ -1,12 +1,13 @@
-"""Unit tests for bench.py's full-rate projection (pure math).
+"""Unit tests for bench.py's roofline helpers (pure math/text).
 
-The projection is the portable-performance claim in the bench JSON
-(PARITY.md "Full-rate projection" section): this run's measured
+The full-rate projection is the portable-performance claim in the bench
+JSON (PARITY.md "Full-rate projection" section): this run's measured
 per-stage account re-priced at nominal v5e-1 rates, with the EdgeConv
 dispatch re-decided by min() exactly as `mlsp-tpu calibrate` would on
-that silicon. These tests pin its arithmetic and dispatch logic with
-synthetic measurements so bench refactors can't silently change the
-claim.
+that silicon. The HLO sparse census is the seg workload's row account
+(the seg step has no hand-derived row count). These tests pin their
+arithmetic, dispatch logic, and parsing with synthetic inputs so bench
+refactors can't silently change the claims.
 """
 
 import sys
@@ -17,20 +18,33 @@ import pytest
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from bench import TARGET, project_fullrate  # noqa: E402
+from mlsp_tpu.utils.profiling import (costing_gather_rows,  # noqa: E402
+                                      hlo_sparse_census, shape_rows)
 
 # A plausible "this chip" measurement set (round-5 magnitudes):
-# 71 ms flops bound, 184 ms sparse bound, 12 ms residual, 9.7 TFLOPS.
+# flagship rows (step_sparse_rows: 10/8 x B*N*k), ~9.7 TFLOPS.
+B, N, K = 32, 1024, 20
 BASE = dict(
     flops_per_step=620e9,
-    t_gather_bound=0.184,
+    gather_rows=10 * B * N * K,
+    scatter_rows=8 * B * N * K,
     t_residual=0.012,
     g_rows_s=180e6,
     s_rows_s=55e6,
     tflops_bf16=9.7,
-    B=32,
-    N=1024,
+    batch=B,
+    edge_rows=B * N * K,
+    n_edge_layers=8,
     cal_b=8,
 )
+
+
+def moments_expect(a):
+    throttle = a["tflops_bf16"] / 197.0
+    t_sparse = (a["gather_rows"] / a["g_rows_s"]
+                + a["scatter_rows"] / a["s_rows_s"])
+    return (a["flops_per_step"] / 197e12 + t_sparse * throttle
+            + a["t_residual"] * (600.0 / 819.0))
 
 
 class TestProjectFullrate:
@@ -43,30 +57,28 @@ class TestProjectFullrate:
         # step must equal the hand-computed three-term account.
         out = project_fullrate(**BASE, edge_cal={"fused_ms": 1e6})
         assert out["fullrate_dispatch_projected"] == "moments"
-        throttle = BASE["tflops_bf16"] / 197.0
-        expect = (BASE["flops_per_step"] / 197e12
-                  + BASE["t_gather_bound"] * throttle
-                  + BASE["t_residual"] * (600.0 / 819.0))
+        expect = moments_expect(BASE)
         assert out["fullrate_t_step_ms_projected"] == (
             pytest.approx(expect * 1e3, abs=0.005))
         assert out["fullrate_clouds_per_sec_projected"] == (
-            pytest.approx(BASE["B"] / expect, abs=0.05))
+            pytest.approx(BASE["batch"] / expect, abs=0.05))
         assert out["fullrate_vs_baseline_projected"] == (
-            pytest.approx(BASE["B"] / expect / TARGET, abs=5e-4))
+            pytest.approx(BASE["batch"] / expect / TARGET, abs=5e-4))
 
     def test_fused_account_arithmetic(self):
-        # A tiny fused_ms forces the fused dispatch: 8 throttle- and
-        # batch-scaled kernel instances plus only the transform-net's
-        # remaining sparse rows.
+        # A tiny fused_ms forces the fused dispatch: n_edge_layers
+        # throttle- and batch-scaled kernel instances plus only the
+        # remaining non-EdgeConv rows (here 2*B*N*k gathers, 0 scatters).
         cal = {"fused_ms": 1.0}
         out = project_fullrate(**BASE, edge_cal=cal)
         assert out["fullrate_dispatch_projected"] == "fused"
         throttle = BASE["tflops_bf16"] / 197.0
-        fused_layer = cal["fused_ms"] / 1e3 * (BASE["B"] / BASE["cal_b"])
-        rows = 2 * BASE["B"] * BASE["N"] * 20
+        fused_layer = cal["fused_ms"] / 1e3 * (BASE["batch"] / BASE["cal_b"])
+        rem_g = BASE["gather_rows"] - 8 * BASE["edge_rows"]  # 2*B*N*k
+        rem_s = 0.0  # all scatters are EdgeConv backwards
         expect = (BASE["flops_per_step"] / 197e12
                   + 8 * fused_layer * throttle
-                  + (rows / BASE["g_rows_s"] + rows / BASE["s_rows_s"])
+                  + (rem_g / BASE["g_rows_s"] + rem_s / BASE["s_rows_s"])
                   * throttle
                   + BASE["t_residual"] * (600.0 / 819.0))
         assert out["fullrate_t_step_ms_projected"] == (
@@ -93,17 +105,74 @@ class TestProjectFullrate:
         # the projection is identity-consistent, not a free speedup.
         args = dict(BASE, tflops_bf16=197.0)
         out = project_fullrate(**args, edge_cal={"fused_ms": 1e6})
-        expect = (args["flops_per_step"] / 197e12 + args["t_gather_bound"]
-                  + args["t_residual"] * (600.0 / 819.0))
         assert out["fullrate_t_step_ms_projected"] == (
-            pytest.approx(expect * 1e3, abs=0.005))
+            pytest.approx(moments_expect(args) * 1e3, abs=0.005))
 
     def test_throttled_chip_projects_faster_step(self):
         # Lower measured tflops (deeper throttle) must project a
-        # FASTER full-rate step for the same measured bounds.
+        # FASTER full-rate step for the same measured rows/rates.
         slow = project_fullrate(**dict(BASE, tflops_bf16=5.0),
                                 edge_cal={"fused_ms": 50.0})
         fast = project_fullrate(**dict(BASE, tflops_bf16=20.0),
                                 edge_cal={"fused_ms": 50.0})
         assert (slow["fullrate_t_step_ms_projected"]
                 < fast["fullrate_t_step_ms_projected"])
+
+    def test_seg_prefix_and_no_target(self):
+        # The seg workload names its fields seg_fullrate_* and has no
+        # published north star -> no vs_baseline field; remainder rows
+        # clamp at 0 even if n_edge_layers over-covers the census.
+        args = dict(BASE, batch=16, n_edge_layers=9,
+                    gather_rows=21 * 16 * 2048 * 20,
+                    scatter_rows=9 * 16 * 2048 * 20,
+                    edge_rows=16 * 2048 * 20)
+        out = project_fullrate(**args, edge_cal={"fused_ms": 26.0},
+                               target=None, prefix="seg_fullrate")
+        assert set(out) == {"seg_fullrate_clouds_per_sec_projected",
+                            "seg_fullrate_dispatch_projected",
+                            "seg_fullrate_t_step_ms_projected"}
+        assert out["seg_fullrate_t_step_ms_projected"] > 0
+
+
+SYNTH_HLO = """
+ENTRY %main {
+  %p0 = f32[32,1024,64]{2,1,0} parameter(0)
+  %g.1 = f32[32,1024,20,64]{3,2,1,0} gather(%p0, %i0), offset_dims={3}
+  %g.2 = f32[655360,3]{1,0} gather(%p1, %i1), offset_dims={1}
+  %upd.3 = f32[32,1024,20,64]{3,2,1,0} add(%g.1, %g.1)
+  %sc.4 = f32[32,1024,64]{2,1,0} scatter(%p0, %i0, %upd.3), to_apply=%add
+  %sc.5 = f32[32,1024,64]{2,1,0} scatter(%p0, %i0, %mystery), to_apply=%add
+}
+"""
+
+
+class TestHloSparseCensus:
+    def test_shape_rows(self):
+        assert shape_rows("32,1024,20,64") == 32 * 1024 * 20
+        assert shape_rows("655360,3") == 655360
+        assert shape_rows("128") == 128
+        assert shape_rows("?") == 0
+
+    def test_census_counts_and_rows(self):
+        g_rows, s_rows, gathers, scatters = hlo_sparse_census(SYNTH_HLO)
+        # gather cost rows = OUTPUT rows
+        assert gathers == {"32,1024,20,64": 1, "655360,3": 1}
+        assert g_rows == 32 * 1024 * 20 + 655360
+        # scatter cost rows = UPDATES-operand rows, resolved through the
+        # definition table; unresolvable operands surface as "?" with 0
+        # rows rather than crashing or silently vanishing
+        assert scatters == {"32,1024,20,64": 1, "?": 1}
+        assert s_rows == 32 * 1024 * 20
+
+    def test_empty_program(self):
+        assert hlo_sparse_census("ENTRY %m { ROOT %c = f32[] constant(0) }"
+                                 ) == (0, 0, {}, {})
+
+    def test_costing_rows_filter_drops_flat_gathers(self):
+        # The flat rank-2 [B*N*k, C] EdgeConv-backward re-gathers fuse
+        # and must not be priced at the standalone row rate; the
+        # batched rank>=3 forms must survive the filter.
+        _, _, gathers, _ = hlo_sparse_census(SYNTH_HLO)
+        assert costing_gather_rows(gathers) == 32 * 1024 * 20
+        # the raw census keeps both (transparency)
+        assert sum(gathers.values()) == 2
