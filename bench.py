@@ -159,7 +159,7 @@ def step_sparse_rows(B, N, k, near):
 
 def project_fullrate(*, flops_per_step, gather_rows, scatter_rows,
                      t_residual, g_rows_s, s_rows_s, tflops_bf16, batch,
-                     edge_rows, n_edge_layers, edge_cal, cal_b,
+                     edge_rows, edge_cals,
                      target=TARGET, prefix="fullrate"):
     """Whole-step full-rate projection (nominal v5e-1: 197 bf16 TFLOPS
     MXU, ~4T op/s VPU, 819 GB/s HBM) under the auto dispatch: both
@@ -172,8 +172,8 @@ def project_fullrate(*, flops_per_step, gather_rows, scatter_rows,
       * non-MXU work (sparse rows, the fused kernel's VPU reductions)
         scaled by the measured-vs-nominal throttle ratio — the VPU is
         throttled in the same class as the MXU (round-3
-        perf_edge_micro); fused per-layer cost is linear in B
-        (edge_cal measured at B=cal_b),
+        perf_edge_micro); fused per-instance cost is linear in B
+        (each calibration record carries the B it was measured at),
       * the measured residual scaled by the HBM headroom (streaming
         already runs ~600 of 819 GB/s here).
     Uniform throttle scaling is ratio-preserving, so this projection is
@@ -181,17 +181,26 @@ def project_fullrate(*, flops_per_step, gather_rows, scatter_rows,
     ~1-2 ms/layer, round 3) — the min() keeps the claim honest.
 
     Generalised over workloads: ``gather_rows``/``scatter_rows`` are the
-    step's total sparse rows, of which the fused dispatch eliminates
-    ``n_edge_layers`` EdgeConvM instances of ``edge_rows`` (= B*N*k)
-    gather rows each plus their backward scatters (whichever of the
-    two actually exist — remainders clamp at 0). ``prefix`` names the
-    emitted JSON fields (``fullrate_*`` / ``seg_fullrate_*``).
+    step's total sparse rows. ``edge_cals`` is one calibration record
+    PER FUSABLE EdgeConvM instance — ``{"fused_ms", "cal_b"}``, resolved
+    by the caller at each instance's own gather width (the fused cost is
+    shape-dependent: round 3 measured 22.5 ms at C=64 vs 32 ms at C=256
+    fwd+bwd, so pricing every instance at one shape's record would skew
+    the crossover). The fused dispatch eliminates each instance's
+    ``edge_rows`` (= B*N*k) gather rows plus its backward scatter
+    (whichever of the two actually exist — remainders clamp at 0).
+    ``edge_cals=[]`` means the workload has NO fused alternative (the
+    seg model's LinearEdgeBlock is plain gather+max — no Pallas
+    edge-moments path exists for it), so only the moments account is
+    projected and the dispatch is reported as such; ``edge_cals=None``
+    means calibration was unavailable -> no projection at all.
+    ``prefix`` names the emitted JSON fields (``fullrate_*`` /
+    ``seg_fullrate_*``).
 
     Pure function of this run's measurements; unit-tested in
-    tests/test_bench_projection.py. Returns {} when no calibration
-    record exists (chip A/B unavailable).
+    tests/test_bench_projection.py.
     """
-    if not edge_cal:
+    if edge_cals is None:
         return {}
     throttle = tflops_bf16 / 197.0
     t_flops_fr = flops_per_step / 197e12
@@ -200,16 +209,21 @@ def project_fullrate(*, flops_per_step, gather_rows, scatter_rows,
     # rates (XLA scatter = sort + segmented add: VPU work)
     t_sparse = gather_rows / g_rows_s + scatter_rows / s_rows_s
     t_moments = t_flops_fr + t_sparse * throttle + t_resid_fr
-    # fused dispatch: each EdgeConvM instance's gather + backward
-    # scatter rows vanish into a fused kernel instance; only the
-    # non-EdgeConv rows (transform-net coord gathers, FPS/chamfer ops)
-    # remain
-    fused_layer_s = edge_cal["fused_ms"] / 1e3 * (batch / cal_b) * throttle
-    rem_g = max(0.0, gather_rows - n_edge_layers * edge_rows)
-    rem_s = max(0.0, scatter_rows - n_edge_layers * edge_rows)
-    rem_sparse_s = (rem_g / g_rows_s + rem_s / s_rows_s) * throttle
-    t_fused = (t_flops_fr + n_edge_layers * fused_layer_s + rem_sparse_s
-               + t_resid_fr)
+    if edge_cals:
+        # fused dispatch: each EdgeConvM instance's gather + backward
+        # scatter rows vanish into a fused kernel instance priced at its
+        # own shape's record; only the non-EdgeConv rows (transform-net
+        # coord gathers, FPS/chamfer ops) remain
+        t_fused_layers = sum(
+            cal["fused_ms"] / 1e3 * (batch / cal["cal_b"]) * throttle
+            for cal in edge_cals)
+        n_edge_layers = len(edge_cals)
+        rem_g = max(0.0, gather_rows - n_edge_layers * edge_rows)
+        rem_s = max(0.0, scatter_rows - n_edge_layers * edge_rows)
+        rem_sparse_s = (rem_g / g_rows_s + rem_s / s_rows_s) * throttle
+        t_fused = t_flops_fr + t_fused_layers + rem_sparse_s + t_resid_fr
+    else:
+        t_fused = float("inf")  # no fused path exists for this workload
     # the auto dispatch on that silicon would measure and take the min
     t_proj = min(t_moments, t_fused)
     out = {
@@ -241,9 +255,19 @@ def main() -> None:
     head_bf16 = os.environ.get("MLSP_BENCH_HEAD_F32", "") != "1"
     from mlsp_tpu.utils import chipcal
 
-    edge_cals = chipcal.edge_calibration()  # per-shape A/B, cached per chip
-    edge_cal = edge_cals.get("n1024_c64", {})  # flagship layer shape
-    edge_cal_seg = edge_cals.get("n2048_c64", {})  # seg operating point
+    cal_records = chipcal.edge_calibration()  # per-shape A/B, cached per chip
+    edge_cal = cal_records.get("n1024_c64", {})  # flagship layer shape
+    edge_cal_seg = cal_records.get("n2048_c64", {})  # seg shape class
+
+    def instance_cal(n, c):
+        """Calibration record for ONE EdgeConvM instance, resolved at
+        its own gather width (= output width; nearest measured shape
+        class) — the fused cost is shape-dependent, so the full-rate
+        projection prices each instance by its own record."""
+        key = chipcal.nearest_shape_key(n, c, cal_records)
+        return {"fused_ms": cal_records[key]["fused_ms"],
+                "cal_b": chipcal.SHAPES.get(key, {"B": 8})["B"]}
+
     model = DGCNN(
         num_classes=10, k=20, knn_backend="auto",
         head_dtype=jnp.bfloat16 if head_bf16 else None,
@@ -342,8 +366,9 @@ def main() -> None:
     # fuse and do not pay the standalone row rate (see
     # profiling.costing_gather_rows — raw census over-prices by ~20%)
     seg_g_rows = costing_gather_rows(seg_gather_census)
-    # each EdgeConvM instance backward = exactly one scatter of
-    # Bs*Ns*k update rows; count them for the fused-dispatch projection
+    # each LinearEdgeBlock backward = one scatter of Bs*Ns*k update
+    # rows (the adjoint of its gather+max); counted as a diagnostic —
+    # the seg projection has no fused alternative to eliminate them
     seg_edge_rows = Bs * Ns * seg_model.k
     n_edge_seg = sum(c for s, c in seg_scatter_census.items()
                      if shape_rows(s) == seg_edge_rows)
@@ -387,12 +412,16 @@ def main() -> None:
     # bounds above the measured step.
     t_residual = max(0.0, t_step - t_flops_bound - t_gather_bound)
 
+    # one record per EdgeConvM instance at its own gather width: two
+    # differentiated DGCNN forwards x layer output widths 64/64/128/256
+    flag_inst_cals = ([instance_cal(N, c)
+                       for _ in range(2) for c in (64, 64, 128, 256)]
+                      if cal_records else None)
     projection = project_fullrate(
         flops_per_step=flops_per_step, gather_rows=g_rows,
         scatter_rows=s_rows, t_residual=t_residual, g_rows_s=g_rows_s,
         s_rows_s=s_rows_s, tflops_bf16=tflops_bf16, batch=B,
-        edge_rows=B * N * 20, n_edge_layers=8, edge_cal=edge_cal,
-        cal_b=chipcal.SHAPES["n1024_c64"]["B"])
+        edge_rows=B * N * 20, edge_cals=flag_inst_cals)
 
     # seg-step roofline account: costing census rows priced at rates
     # microbenched AT THE SEG SHAPE (B=16, N=2048, C=64; measured
@@ -404,14 +433,16 @@ def main() -> None:
     t_seg_sparse_bound = (seg_g_rows / seg_g_rows_s
                           + seg_s_rows / seg_s_rows_s)
     t_seg_residual = max(0.0, t_seg - t_seg_flops_bound - t_seg_sparse_bound)
+    # edge_cals=[]: DGCNNSeg's LinearEdgeBlock is plain gather+max — no
+    # fused Pallas alternative exists for it, so the seg projection is
+    # the moments account only (projecting a fused dispatch no buildable
+    # configuration can reach would overstate the portable claim).
     seg_projection = project_fullrate(
         flops_per_step=seg_flops, gather_rows=seg_g_rows,
         scatter_rows=seg_s_rows, t_residual=t_seg_residual,
         g_rows_s=seg_g_rows_s, s_rows_s=seg_s_rows_s,
         tflops_bf16=tflops_bf16, batch=Bs, edge_rows=seg_edge_rows,
-        n_edge_layers=n_edge_seg, edge_cal=edge_cal_seg,
-        cal_b=chipcal.SHAPES["n2048_c64"]["B"], target=None,
-        prefix="seg_fullrate")
+        edge_cals=[], target=None, prefix="seg_fullrate")
     # dict-literal duplicate keys overwrite silently — make a prefix
     # mistake loud instead (it once halved the flagship projection)
     assert not set(projection) & set(seg_projection), (
@@ -475,10 +506,13 @@ def main() -> None:
         "edge_fused_fullrate_ms_projected": (
             round(edge_cal["fused_ms"] * tflops_bf16 / 197.0, 3)
             if edge_cal else None),
-        # the seg workload's own calibrated dispatch (N=2048 shape class)
-        "seg_edge_impl": edge_cal_seg.get("winner"),
-        "seg_edge_moments_ms": edge_cal_seg.get("moments_ms"),
-        "seg_edge_fused_ms": edge_cal_seg.get("fused_ms"),
+        # the chipcal A/B record at the seg SHAPE CLASS (N=2048) —
+        # informational only: DGCNNSeg's LinearEdgeBlock has no fused
+        # path, so the seg step always runs the gather+max core and the
+        # seg projection above is moments-only
+        "seg_shape_edge_ab_winner": edge_cal_seg.get("winner"),
+        "seg_shape_edge_moments_ms": edge_cal_seg.get("moments_ms"),
+        "seg_shape_edge_fused_ms": edge_cal_seg.get("fused_ms"),
     }))
 
 

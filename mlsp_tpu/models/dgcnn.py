@@ -210,13 +210,17 @@ class DGCNN(nn.Module):
             "auto" resolves PER LAYER SHAPE: the moments/fused ratio is
             shape-dependent (utils/chipcal.py SHAPES grid), so on
             near-crossover silicon the C=256 layer can pick a different
-            implementation than the C=64 ones.
+            implementation than the C=64 ones. The cost shape is the
+            layer's OUTPUT width: EdgeConvM projects to ``c_out`` first
+            and its gather/moments (and the fused kernel's reductions)
+            run at that width, so dispatch resolves on ``c_out``, not
+            the input width.
             """
             impl = self.edge_impl
             if impl == "auto":
                 from mlsp_tpu.utils import chipcal
 
-                impl = chipcal.edge_impl(n=N, c=feats.shape[-1])
+                impl = chipcal.edge_impl(n=N, c=c_out)
             if impl == "fused":
                 ec = EdgeConvM(c_out, kernel_k=self.k, dtype=dt)
                 return ec(feats, None, train)  # kNN built in-kernel

@@ -87,17 +87,33 @@ def _load_cache() -> dict:
     return cache
 
 
-def resolve_shape(records: dict, n: int, c: int) -> dict:
-    """Nearest measured shape class for a concrete layer (log-space
-    distance on (N, C)). Pure lookup — unit-testable without a TPU."""
-    def dist(key):
-        s = SHAPES.get(key)
-        if s is None:  # unknown legacy key: match anything, last resort
-            return float("inf")
-        return (abs(math.log(s["N"] / n)) + abs(math.log(s["C"] / c)))
+def _shape_dist(key: str, n: int, c: int):
+    """Log-space distance of a measured shape class to a concrete
+    (n, c), with a deterministic tie-break toward the LARGER measured C
+    (a C=128 layer ties between the C=64 and C=256 records; rounding
+    the cost shape up is the conservative choice for per-row pricing).
+    Unknown legacy keys sort last."""
+    s = SHAPES.get(key)
+    if s is None:  # unknown legacy key: match anything, last resort
+        return (float("inf"), 0)
+    return (abs(math.log(s["N"] / n)) + abs(math.log(s["C"] / c)),
+            -s["C"])
 
-    key = min(records, key=dist)
-    return records[key]
+
+def nearest_shape_key(n: int, c: int, records=None) -> str:
+    """The measured shape class nearest to a concrete layer shape.
+
+    Over :data:`SHAPES` by default, or over a (possibly partial) cached
+    ``records`` dict. The single source of the nearest-shape rule —
+    :func:`edge_impl` and :func:`resolve_shape` both route here."""
+    keys = SHAPES if records is None else records
+    return min(keys, key=lambda k: _shape_dist(k, n, c))
+
+
+def resolve_shape(records: dict, n: int, c: int) -> dict:
+    """Nearest measured shape-class record for a concrete layer.
+    Pure lookup — unit-testable without a TPU."""
+    return records[nearest_shape_key(n, c, records)]
 
 
 def measure_edge_impl(shape: str = "n1024_c64") -> dict:
@@ -161,21 +177,27 @@ def edge_calibration(force: bool = False) -> dict:
     """The cached per-shape A/B records for this device kind, measuring
     any missing shape class if needed (and allowed). Returns a dict
     ``{shape_key: {"moments_ms", "fused_ms", "winner"}}``, or {} when
-    measurement is impossible here and nothing is cached."""
+    measurement is impossible here and nothing is cached.
+
+    ``force=True`` re-measures where measurement is possible; where it
+    is NOT (non-TPU backend, or inside a trace) it falls back to the
+    cached records rather than discarding them — a readable cache never
+    turns into a "no calibration" answer."""
     import jax
 
     key = _device_key()
     cache = _load_cache()
-    records = dict(cache.get(key, {})) if not force else {}
+    cached = dict(cache.get(key, {}))
+    records = cached if not force else {}
     missing = [s for s in SHAPES if s not in records]
     if not missing:
         return records
     if jax.default_backend() != "tpu":
-        return records
+        return records or cached
     from jax._src import core as _core  # jax.core alias removed in 0.9
 
     if not _core.trace_state_clean():
-        return records
+        return records or cached
     for shape in missing:
         records[shape] = measure_edge_impl(shape)
     cache[key] = records
@@ -199,12 +221,7 @@ def edge_impl(n: int = 1024, c: int = 64) -> str:
     if jax.default_backend() != "tpu":
         return "moments"
     key = _device_key()
-
-    def dist(s):
-        dims = SHAPES[s]
-        return abs(math.log(dims["N"] / n)) + abs(math.log(dims["C"] / c))
-
-    shape = min(SHAPES, key=dist)
+    shape = nearest_shape_key(n, c)
     if (key, shape) in _MEMO:
         return _MEMO[(key, shape)]
     # A cached record for the nearest shape settles it — don't trigger

@@ -66,9 +66,15 @@ def hlo_sparse_census(hlo: str):
         gathers[m.group(1)] += 1
     defs = {m.group(1): m.group(2) for m in re.finditer(
         r"%([\w.-]+) = \w+\[([\d,]+)\]", hlo)}
-    for m in re.finditer(r" scatter\(%([\w.-]+), %([\w.-]+), %([\w.-]+)\)",
-                         hlo):
-        scatters[defs.get(m.group(3), "?")] += 1
+    # A scatter's operand list is (T operands, 1 indices, T updates) —
+    # T=1 ordinarily, T>1 for variadic (multi-result) scatters that XLA
+    # forms when scatters share indices. Cost each UPDATES operand (the
+    # trailing T), so variadic scatters are censused, not dropped.
+    for m in re.finditer(r" scatter\((%[\w.-]+(?:, %[\w.-]+)*)\)", hlo):
+        operands = [o.strip().lstrip("%") for o in m.group(1).split(",")]
+        n_updates = (len(operands) - 1) // 2
+        for upd in operands[len(operands) - n_updates:]:
+            scatters[defs.get(upd, "?")] += 1
 
     g_rows = sum(shape_rows(s) * c for s, c in gathers.items())
     s_rows = sum(shape_rows(s) * c for s, c in scatters.items())

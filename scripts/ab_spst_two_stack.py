@@ -218,9 +218,17 @@ def _torch(cfg, datasets, init_sd):
         if len(pcs) < cfg.batch_size:
             # degenerate round: the reference would crash on the 0-count
             # division (documented divergence, PARITY.md); advance the
-            # weight decay like its epoch loop would and continue
+            # weight decay AND the cyclic LR schedule like its epoch
+            # loop would, then continue. The scheduler steps too — our
+            # stack indexes the LR by GLOBAL epoch (spst.py:
+            # torch_cosine_lr(lr, epochs, rnd*epochs+epoch)), so a
+            # skipped round must not leave the two stacks at different
+            # cosine positions in later rounds (the A/B would then be
+            # measuring harness LR skew, not the training stacks).
             spl_weight -= 5e-3 * cfg.epochs
             cls_weight -= 5e-3 * cfg.epochs
+            for _ in range(cfg.epochs):
+                scheduler.step()
             continue
         model.train()
         si_all = np.array(src.train_ind, copy=True)

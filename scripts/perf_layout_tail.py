@@ -106,8 +106,13 @@ def main():
 
         flat_gather_sorted.defvjp(_fgs_fwd, _fgs_bwd)
 
-        def var_d(u_, _fidx, cot_):
-            g = flat_gather_sorted(u_.reshape(B * N, C), sorted_idx, inv)
+        # sorted_idx/inv ride in as ONE stacked argument — big arrays
+        # must never be closed over a jit (CLAUDE.md: closed-over
+        # constants bake into the HLO and can 413 the remote compiler)
+        d_idx = jnp.stack([sorted_idx, inv])
+
+        def var_d(u_, didx_, cot_):
+            g = flat_gather_sorted(u_.reshape(B * N, C), didx_[0], didx_[1])
             mx, mn, s1, s2 = stats_of(g.reshape(B, N, K, C))
             return jnp.sum(mx * cot_[0] + mn * cot_[1] + s1 * cot_[2]
                            + s2 * cot_[3])
@@ -115,7 +120,7 @@ def main():
         variants = {"A_take_along": (var_a, idx),
                     "B_flat": (var_b, flat_idx),
                     "C_flat_segsum": (var_c, flat_idx),
-                    "D_flat_sorted": (var_d, flat_idx)}
+                    "D_flat_sorted": (var_d, d_idx)}
         for name, (fn, i_) in variants.items():
             gfn = jax.grad(fn)
 

@@ -34,9 +34,12 @@ BASE = dict(
     tflops_bf16=9.7,
     batch=B,
     edge_rows=B * N * K,
-    n_edge_layers=8,
-    cal_b=8,
 )
+
+
+def cals(fused_ms, n=8, cal_b=8):
+    """n identical per-instance calibration records."""
+    return [{"fused_ms": fused_ms, "cal_b": cal_b}] * n
 
 
 def moments_expect(a):
@@ -49,13 +52,12 @@ def moments_expect(a):
 
 class TestProjectFullrate:
     def test_no_calibration_returns_empty(self):
-        assert project_fullrate(**BASE, edge_cal=None) == {}
-        assert project_fullrate(**BASE, edge_cal={}) == {}
+        assert project_fullrate(**BASE, edge_cals=None) == {}
 
     def test_moments_account_arithmetic(self):
         # A huge fused_ms forces the moments dispatch; its projected
         # step must equal the hand-computed three-term account.
-        out = project_fullrate(**BASE, edge_cal={"fused_ms": 1e6})
+        out = project_fullrate(**BASE, edge_cals=cals(1e6))
         assert out["fullrate_dispatch_projected"] == "moments"
         expect = moments_expect(BASE)
         assert out["fullrate_t_step_ms_projected"] == (
@@ -66,14 +68,13 @@ class TestProjectFullrate:
             pytest.approx(BASE["batch"] / expect / TARGET, abs=5e-4))
 
     def test_fused_account_arithmetic(self):
-        # A tiny fused_ms forces the fused dispatch: n_edge_layers
-        # throttle- and batch-scaled kernel instances plus only the
-        # remaining non-EdgeConv rows (here 2*B*N*k gathers, 0 scatters).
-        cal = {"fused_ms": 1.0}
-        out = project_fullrate(**BASE, edge_cal=cal)
+        # A tiny fused_ms forces the fused dispatch: 8 throttle- and
+        # batch-scaled kernel instances plus only the remaining
+        # non-EdgeConv rows (here 2*B*N*k gathers, 0 scatters).
+        out = project_fullrate(**BASE, edge_cals=cals(1.0))
         assert out["fullrate_dispatch_projected"] == "fused"
         throttle = BASE["tflops_bf16"] / 197.0
-        fused_layer = cal["fused_ms"] / 1e3 * (BASE["batch"] / BASE["cal_b"])
+        fused_layer = 1.0 / 1e3 * (BASE["batch"] / 8)
         rem_g = BASE["gather_rows"] - 8 * BASE["edge_rows"]  # 2*B*N*k
         rem_s = 0.0  # all scatters are EdgeConv backwards
         expect = (BASE["flops_per_step"] / 197e12
@@ -84,16 +85,33 @@ class TestProjectFullrate:
         assert out["fullrate_t_step_ms_projected"] == (
             pytest.approx(expect * 1e3, abs=0.005))
 
+    def test_per_instance_pricing(self):
+        # Mixed records (the wide layers cost more, round-3 data) must
+        # be summed PER INSTANCE: equal to the same projection with one
+        # synthetic record whose fused_ms is the per-instance mean.
+        mixed = (cals(1.0, n=6) + cals(2.5, n=2))
+        mean = cals((6 * 1.0 + 2 * 2.5) / 8, n=8)
+        a = project_fullrate(**BASE, edge_cals=mixed)
+        b = project_fullrate(**BASE, edge_cals=mean)
+        assert a["fullrate_dispatch_projected"] == "fused"
+        assert a["fullrate_t_step_ms_projected"] == (
+            pytest.approx(b["fullrate_t_step_ms_projected"], abs=0.005))
+        # and pricing the wide instances at the cheap record (the bug
+        # this test pins) would understate the fused step
+        cheap = project_fullrate(**BASE, edge_cals=cals(1.0))
+        assert (cheap["fullrate_t_step_ms_projected"]
+                < a["fullrate_t_step_ms_projected"])
+
     def test_dispatch_takes_the_min(self):
         # Sweep fused_ms across the crossover: projected step time must
         # always equal min(moments, fused) — monotone non-increasing as
         # fused gets cheaper, and capped by the moments account.
         moments_ms = project_fullrate(
-            **BASE, edge_cal={"fused_ms": 1e6},
+            **BASE, edge_cals=cals(1e6),
         )["fullrate_t_step_ms_projected"]
         prev = float("inf")
         for fused_ms in (1e3, 100.0, 30.0, 10.0, 3.0, 1.0, 0.3):
-            out = project_fullrate(**BASE, edge_cal={"fused_ms": fused_ms})
+            out = project_fullrate(**BASE, edge_cals=cals(fused_ms))
             t = out["fullrate_t_step_ms_projected"]
             assert t <= moments_ms + 1e-9
             assert t <= prev + 1e-9
@@ -104,7 +122,7 @@ class TestProjectFullrate:
         # moments projection must reproduce the measured account —
         # the projection is identity-consistent, not a free speedup.
         args = dict(BASE, tflops_bf16=197.0)
-        out = project_fullrate(**args, edge_cal={"fused_ms": 1e6})
+        out = project_fullrate(**args, edge_cals=cals(1e6))
         assert out["fullrate_t_step_ms_projected"] == (
             pytest.approx(moments_expect(args) * 1e3, abs=0.005))
 
@@ -112,26 +130,29 @@ class TestProjectFullrate:
         # Lower measured tflops (deeper throttle) must project a
         # FASTER full-rate step for the same measured rows/rates.
         slow = project_fullrate(**dict(BASE, tflops_bf16=5.0),
-                                edge_cal={"fused_ms": 50.0})
+                                edge_cals=cals(50.0))
         fast = project_fullrate(**dict(BASE, tflops_bf16=20.0),
-                                edge_cal={"fused_ms": 50.0})
+                                edge_cals=cals(50.0))
         assert (slow["fullrate_t_step_ms_projected"]
                 < fast["fullrate_t_step_ms_projected"])
 
-    def test_seg_prefix_and_no_target(self):
-        # The seg workload names its fields seg_fullrate_* and has no
-        # published north star -> no vs_baseline field; remainder rows
-        # clamp at 0 even if n_edge_layers over-covers the census.
-        args = dict(BASE, batch=16, n_edge_layers=9,
-                    gather_rows=21 * 16 * 2048 * 20,
+    def test_no_fused_path_projects_moments_only(self):
+        # edge_cals=[] (the seg model's LinearEdgeBlock has no fused
+        # alternative): the projection must be the moments account even
+        # when a hypothetical fused record would have won, and the
+        # dispatch must say so.
+        args = dict(BASE, batch=16,
+                    gather_rows=12 * 16 * 2048 * 20,
                     scatter_rows=9 * 16 * 2048 * 20,
                     edge_rows=16 * 2048 * 20)
-        out = project_fullrate(**args, edge_cal={"fused_ms": 26.0},
-                               target=None, prefix="seg_fullrate")
+        out = project_fullrate(**args, edge_cals=[], target=None,
+                               prefix="seg_fullrate")
         assert set(out) == {"seg_fullrate_clouds_per_sec_projected",
                             "seg_fullrate_dispatch_projected",
                             "seg_fullrate_t_step_ms_projected"}
-        assert out["seg_fullrate_t_step_ms_projected"] > 0
+        assert out["seg_fullrate_dispatch_projected"] == "moments"
+        assert out["seg_fullrate_t_step_ms_projected"] == (
+            pytest.approx(moments_expect(args) * 1e3, abs=0.005))
 
 
 SYNTH_HLO = """
@@ -167,6 +188,24 @@ class TestHloSparseCensus:
     def test_empty_program(self):
         assert hlo_sparse_census("ENTRY %m { ROOT %c = f32[] constant(0) }"
                                  ) == (0, 0, {}, {})
+
+    def test_variadic_scatter_counts_every_update(self):
+        # XLA can merge scatters sharing indices into one variadic
+        # scatter(%op0, %op1, %idx, %upd0, %upd1); each updates operand
+        # must be censused (rows cost the same sort+segmented-add),
+        # not silently dropped.
+        hlo = """
+ENTRY %main {
+  %p0 = f32[32,1024,64]{2,1,0} parameter(0)
+  %u.0 = f32[32,1024,20,64]{3,2,1,0} add(%p0, %p0)
+  %u.1 = f32[655360,3]{1,0} add(%p1, %p1)
+  %sc = (f32[32,1024,64], f32[32,1024,3]) scatter(%p0, %p1, %i, %u.0, %u.1), to_apply=%add2
+}
+"""
+        g_rows, s_rows, _, scatters = hlo_sparse_census(hlo)
+        assert scatters == {"32,1024,20,64": 1, "655360,3": 1}
+        assert s_rows == 32 * 1024 * 20 + 655360
+        assert g_rows == 0
 
     def test_costing_rows_filter_drops_flat_gathers(self):
         # The flat rank-2 [B*N*k, C] EdgeConv-backward re-gathers fuse

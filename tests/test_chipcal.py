@@ -74,6 +74,31 @@ class TestResolve:
         assert chipcal.edge_impl(n=4096, c=80) == "fused"
         assert chipcal.edge_impl(n=512, c=48) == "moments"
 
+    def test_exact_tie_prefers_larger_shape(self, fake_tpu):
+        """C=128 ties exactly between the C=64 and C=256 records in
+        log-space; the tie must break toward the LARGER measured C
+        (conservative for per-row pricing), not dict order."""
+        set_backend, tmp_path = fake_tpu
+        set_backend("tpu")
+        _write_cache(tmp_path, {"n1024_c64": "moments",
+                                "n1024_c256": "fused",
+                                "n2048_c64": "moments"})
+        chipcal._MEMO.clear()
+        assert chipcal.edge_impl(n=1024, c=128) == "fused"
+        assert chipcal.nearest_shape_key(1024, 128) == "n1024_c256"
+
+    def test_force_on_non_tpu_keeps_cache(self, fake_tpu):
+        """edge_calibration(force=True) where measurement is impossible
+        must fall back to the cached records, not discard them (the CLI
+        would otherwise claim no cache exists)."""
+        set_backend, tmp_path = fake_tpu
+        set_backend("cpu")
+        _write_cache(tmp_path, {s: "moments" for s in chipcal.SHAPES})
+        chipcal._MEMO.clear()
+        recs = chipcal.edge_calibration(force=True)
+        assert set(recs) == set(chipcal.SHAPES)
+        assert all(r["winner"] == "moments" for r in recs.values())
+
     def test_legacy_single_shape_cache_adopted(self, fake_tpu):
         """A round-4 flat record is adopted as the flagship shape's."""
         set_backend, tmp_path = fake_tpu
@@ -171,6 +196,24 @@ class TestDGCNNDispatch:
         mixed = [(jax.tree_util.keystr(p), l.shape)
                  for p, l in jax.tree_util.tree_leaves_with_path(v)]
         assert mixed == a
+
+    def test_auto_resolves_on_output_width(self, monkeypatch):
+        """The dispatch cost shape is the layer's OUTPUT width (EdgeConvM
+        projects to c_out before its gather/moments), so auto must ask
+        chipcal for c_out — 64/64/128/256 — not the input widths."""
+        asked = []
+
+        def spy(n=1024, c=64):
+            asked.append(c)
+            return "moments"
+
+        monkeypatch.setattr(chipcal, "edge_impl", spy)
+        model = DGCNN(num_classes=10, k=8)
+        jax.eval_shape(
+            lambda r, x: model.init({"params": r}, x, train=False,
+                                    heads=("defrec",)),
+            jax.random.key(0), jnp.zeros((1, 64, 3), jnp.float32))
+        assert asked == [64, 64, 128, 256]
 
     def test_forced_moments_runs(self):
         model = DGCNN(num_classes=10, k=8, edge_impl="moments")
